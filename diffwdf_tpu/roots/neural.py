@@ -71,11 +71,13 @@ def mlp_apply(params: MLPParams, activations: Sequence[str], x):
 
 
 def mlp_arch(n_layers: int, layer_size: int, d_in: int = 2, d_out: int = 1):
-    """The reference's architecture family: n_layers hidden tanh layers of
-    width layer_size, then a linear head (``diode_pretraining.py:113-127``).
-    Returns (sizes, activations)."""
-    sizes = [d_in] + [layer_size] * n_layers + [d_out]
-    activations = tuple(["tanh"] * n_layers + [""])
+    """The reference's architecture family, keeping its naming convention:
+    "NxH" = an input dense(2->H) + N hidden dense(H->H), ALL tanh, then a
+    linear head (``diode_pretraining.py:113-127`` builds n_layers+2 dense
+    layers; C++ parity in ``DiodePairNeuralModel.h:8-40``).  So "2x16" has
+    three tanh layers of width 16.  Returns (sizes, activations)."""
+    sizes = [d_in] + [layer_size] * (n_layers + 1) + [d_out]
+    activations = tuple(["tanh"] * (n_layers + 1) + [""])
     return sizes, activations
 
 
@@ -113,7 +115,7 @@ class NeuralDiodeRoot(Root):
     def from_mlp(cls, name: str, mlp_params: MLPParams, activations: Sequence[str]):
         """Build a root around existing MLP params (e.g. loaded from the JSON
         model zoo); returns (root, params-fragment)."""
-        n_hidden = len(mlp_params["layers"]) - 1
+        n_hidden = len(mlp_params["layers"]) - 2  # "NxH" naming, see mlp_arch
         width = mlp_params["layers"][0]["kernel"].shape[1]
         root = cls(
             name=name,

@@ -1,0 +1,194 @@
+"""Circuit-in-the-loop training: gradients through the WDF sample recursion.
+
+The flagship workload (reference ``clipper_pot.py``): a neural diode root is
+fine-tuned *inside* the clipper circuit on measured (or synthesized) data,
+with the source voltage AND source resistance driven per sample (the pot).
+
+Reference parity: sequence chunks of 2048 samples treated as a batch
+(``clipper_pot.py:58-80``), loss = MSE + ESR over samples [50:] (state
+warm-up skip, ``:232``), Adam lr 1e-4 beta1 0.5 (``:180``), optional
+pre-emphasis.  TPU-first: the sequence batch is vmapped over the scan (one
+compiled step for all chunks), gradients flow through ``lax.scan`` with
+optional rematerialization, and the epoch loop is host-side only for metric
+logging.
+
+Also includes the simple-circuit component-fitting workloads
+(``voltage_divider.py`` / ``lpf.py``): learning R/C values with per-parameter
+optimizers (optax.multi_transform standing in for the reference's two
+separate Adam instances, ``lpf.py:79-99``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.circuit import Circuit
+from .losses import esr, mse, pre_emphasis
+
+
+@dataclasses.dataclass
+class CircuitTrainConfig:
+    epochs: int = 501
+    batch_size: int = 2048  # samples per sequence chunk
+    learning_rate: float = 1e-4
+    beta1: float = 0.5
+    skip_samples: int = 50
+    use_pre_emphasis: bool = False
+    checkpoint_scan: bool = False  # remat the scan body (memory vs flops)
+    log_every: int = 5
+    max_chunks: Optional[int] = None  # cap sequences per split (for tests)
+
+
+def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunks=None):
+    """{"x","r","y"} streams -> [n_seq, T] arrays (reference ``batch_data``)."""
+    n = len(data["x"]) // batch_size
+    if max_chunks is not None:
+        n = min(n, max_chunks)
+    out = {
+        k: jnp.asarray(v[: n * batch_size].reshape(n, batch_size))
+        for k, v in data.items()
+    }
+    return out
+
+
+def clipper_forward(circuit: Circuit, params, batches, checkpoint=False):
+    """Run the training clipper over a [n_seq, T] batch of (v, R) drives.
+
+    State resets at chunk boundaries (reference behavior: ``Vs.reset();
+    C.reset()`` per forward, ``clipper_pot.py:110-111``).
+    Returns outputs [n_seq, T].
+    """
+    state0 = circuit.init_state()
+
+    def run_one(v, r):
+        inputs = {"Vs": {"v": v, "R": r}}
+        out, _ = circuit.process(
+            params, state0, inputs, adapt_per_sample=True, checkpoint=checkpoint
+        )
+        return out
+
+    return jax.vmap(run_one)(batches["x"], batches["r"])
+
+
+def make_train_step(
+    circuit: Circuit,
+    cfg: CircuitTrainConfig,
+    trainable_filter: Optional[Callable] = None,
+):
+    """Build the jitted (params, opt_state, batches) -> ... training step."""
+    opt = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=0.999)
+    emphasis = (lambda t: pre_emphasis(t, axis=1)) if cfg.use_pre_emphasis else None
+
+    def loss_fn(params, batches):
+        outs = clipper_forward(circuit, params, batches, cfg.checkpoint_scan)
+        y = batches["y"]
+        o = outs[:, cfg.skip_samples :]
+        t = y[:, cfg.skip_samples :]
+        if emphasis is not None:
+            o, t = emphasis(o), emphasis(t)
+        m = mse(t, o)
+        e = esr(t, o)
+        return m + e, {"mse": m, "esr": e}
+
+    @jax.jit
+    def train_step(params, opt_state, batches):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batches)
+        if trainable_filter is not None:
+            grads = trainable_filter(grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, **aux}
+
+    @jax.jit
+    def eval_step(params, batches):
+        loss, aux = loss_fn(params, batches)
+        return {"loss": loss, **aux}
+
+    return opt, train_step, eval_step
+
+
+def train_clipper(
+    circuit: Circuit,
+    params,
+    train_batches,
+    val_batches=None,
+    cfg: CircuitTrainConfig = CircuitTrainConfig(),
+    trainable_filter: Optional[Callable] = None,
+    on_epoch: Optional[Callable] = None,
+):
+    """Full training loop.  Returns (params, history) with the reference's
+    history keys (loss/mse/esr + val_ variants, ``clipper_pot.py:233-240``)."""
+    opt, train_step, eval_step = make_train_step(circuit, cfg, trainable_filter)
+    opt_state = opt.init(params)
+    history = {k: [] for k in ("loss", "mse", "esr", "val_loss", "val_mse", "val_esr")}
+    for epoch in range(cfg.epochs):
+        params, opt_state, m = train_step(params, opt_state, train_batches)
+        for k in ("loss", "mse", "esr"):
+            history[k].append(float(m[k]))
+        if val_batches is not None:
+            vm = eval_step(params, val_batches)
+            for k in ("loss", "mse", "esr"):
+                history["val_" + k].append(float(vm[k]))
+        if on_epoch is not None and cfg.log_every and epoch % cfg.log_every == 0:
+            on_epoch(epoch, params, history)
+    return params, history
+
+
+# ---------------------------------------------------------------------------
+# Simple-circuit component fitting (the reference's sanity workloads)
+# ---------------------------------------------------------------------------
+
+
+def fit_components(
+    circuit: Circuit,
+    params,
+    inputs,
+    target,
+    lr_by_param: Dict[str, float],
+    epochs: int = 100,
+    constrain: bool = True,
+):
+    """Learn component values (R/C) against a target waveform with separate
+    per-parameter learning rates — e.g. {"R1.R": 25.0, "C1.C": 1e-8}
+    (reference ``lpf.py:79-99``).  Parameters not listed get lr 0 (frozen).
+
+    Returns (params, history dict of per-epoch loss and param trajectories).
+    """
+    state0 = circuit.init_state()
+
+    def label_of(path):
+        # path like (DictKey('R1'), DictKey('R')) -> "R1.R"
+        key = ".".join(str(getattr(p, "key", p)) for p in path)
+        return key if key in lr_by_param else "frozen"
+
+    labels = jax.tree_util.tree_map_with_path(lambda p, x: label_of(p), params)
+    transforms = {k: optax.adam(lr) for k, lr in lr_by_param.items()}
+    transforms["frozen"] = optax.set_to_zero()
+    opt = optax.multi_transform(transforms, labels)
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        out, _ = circuit.process(p, state0, inputs)
+        return mse(target, out)
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(g, s, p)
+        p = optax.apply_updates(p, updates)
+        return p, s, loss
+
+    history = {"loss": [], "params": []}
+    for _ in range(epochs):
+        params, opt_state, loss = step(params, opt_state)
+        if constrain:
+            params = circuit.constrain(params)
+        history["loss"].append(float(loss))
+        history["params"].append(jax.tree_util.tree_map(float, params))
+    return params, history
