@@ -1,0 +1,196 @@
+"""R-type adaptor: MNA-derived scattering vs closed forms.
+
+Two oracle families:
+- classic 3-port series/parallel scattering formulas (textbook WDF) for
+  netlists that ARE a series loop / parallel junction;
+- the reference's R-Solver closed form for the Tube Screamer op-amp stage
+  (first scattering row + adapted port resistance transcribed from
+  ``TubeScreamer.h:53-60`` as a float64 oracle).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import diffwdf_tpu as dwdf
+from diffwdf_tpu.core.rtype import (
+    Netlist,
+    RTypeAdaptor,
+    VCVS,
+    adapted_resistance,
+    bake_static_scatter,
+    make_netlist_scatter_fn,
+    scattering_matrix,
+)
+from diffwdf_tpu.models.tube_screamer import (
+    OPAMP_GAIN,
+    OPAMP_RIN,
+    OPAMP_ROUT,
+    make_tube_screamer,
+    tube_screamer_netlist,
+)
+
+
+def test_series_junction_matches_classic_formula():
+    """Three ports in a series loop: b_i = a_i - 2 R_i / sum(R) * sum(a)."""
+    net = Netlist(n_nodes=2, resistors=(), vcvs=(), ports=((1, 0), (2, 1), (0, 2)))
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        R = rng.uniform(10.0, 1e5, size=3)
+        S = scattering_matrix(net, R, xp=np)
+        want = np.eye(3) - 2.0 * np.outer(R, np.ones(3)) / np.sum(R)
+        np.testing.assert_allclose(S, want, rtol=1e-9, atol=1e-12)
+
+
+def test_parallel_junction_matches_classic_formula():
+    """Three ports across one node pair: b_i = 2 (sum g_j a_j)/sum(g) - a_i."""
+    net = Netlist(n_nodes=1, resistors=(), vcvs=(), ports=((1, 0), (1, 0), (1, 0)))
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        R = rng.uniform(10.0, 1e5, size=3)
+        g = 1.0 / R
+        S = scattering_matrix(net, R, xp=np)
+        want = 2.0 * np.outer(np.ones(3), g) / np.sum(g) - np.eye(3)
+        np.testing.assert_allclose(S, want, rtol=1e-9, atol=1e-12)
+
+
+def ref_first_row_and_ra(Rb, Rc, Rd, Ag=OPAMP_GAIN, Ri=OPAMP_RIN, Ro=OPAMP_ROUT):
+    """Reference closed form: S[0, 1:4] and Ra (``TubeScreamer.h:53-60``)."""
+    den = (Rb + Rc) * Rd + Rd * Ri - (Rb + Rc + Ri) * Ro
+    s01 = (Ag * Rd * Ri - Rc * Rd + Rc * Ro) / den
+    s02 = -((Ag + 1) * Rd * Ri + Rb * Rd - (Rb + Ri) * Ro) / den
+    s03 = -Ro / (Rd - Ro)
+    ra = (
+        (Ag + 1) * Rc * Rd * Ri
+        + Rb * Rc * Rd
+        - (Rb * Rc + (Rb + Rc) * Rd + (Rc + Rd) * Ri) * Ro
+    ) / den
+    return np.array([s01, s02, s03]), ra
+
+
+def test_adapted_resistance_matches_reference_closed_form():
+    rng = np.random.default_rng(0)
+    net = tube_screamer_netlist()
+    for _ in range(10):
+        Rb, Rc, Rd = rng.uniform(100.0, 1e6, size=3)
+        _, ra_ref = ref_first_row_and_ra(Rb, Rc, Rd)
+        ra = adapted_resistance(net, np.array([Rb, Rc, Rd]), xp=np)
+        np.testing.assert_allclose(float(ra), ra_ref, rtol=1e-8)
+
+
+def test_first_scatter_row_matches_reference_closed_form():
+    rng = np.random.default_rng(1)
+    net = tube_screamer_netlist()
+    for _ in range(10):
+        Rb, Rc, Rd = rng.uniform(100.0, 1e6, size=3)
+        row_ref, ra_ref = ref_first_row_and_ra(Rb, Rc, Rd)
+        S = scattering_matrix(net, np.array([ra_ref, Rb, Rc, Rd]), xp=np)
+        assert abs(S[0, 0]) < 1e-7  # adapted
+        np.testing.assert_allclose(np.asarray(S[0, 1:]), row_ref, rtol=1e-7)
+
+
+def _parse_reference_full_matrix():
+    """Parse the full 4x4 closed-form S from the reference header at runtime
+    (avoids any manual transcription of the 16 giant expressions)."""
+    import os
+    import re
+
+    path = "/root/reference/plugin/src/dsp/tube_screamer/TubeScreamer.h"
+    if not os.path.exists(path):
+        return None
+    src = open(path).read()
+    m = re.search(r"setSMatrixData \(\{(.*?)\}\ \}\);", src, re.S)
+    rows = re.findall(r"\{(.*?)\}", m.group(1) + "} ", re.S)
+
+    def split_top(s):
+        out, depth, cur = [], 0, ""
+        for ch in s:
+            if ch == "," and depth == 0:
+                out.append(cur)
+                cur = ""
+            else:
+                depth += ch == "("
+                depth -= ch == ")"
+                cur += ch
+        out.append(cur)
+        return [x.strip() for x in out]
+
+    exprs = [split_top(r) for r in rows]
+
+    def S_of(Rb, Rc, Rd, Ag=OPAMP_GAIN, Ri=OPAMP_RIN, Ro=OPAMP_ROUT):
+        env = dict(Rb=Rb, Rc=Rc, Rd=Rd, Ag=Ag, Ri=Ri, Ro=Ro)
+        return np.array([[eval(e, {}, env) for e in row] for row in exprs])
+
+    return S_of
+
+
+def test_full_matrix_matches_reference_closed_form():
+    """All 16 entries of the derived S equal the reference's R-Solver output
+    (both at the plugin's op-amp constants and at benign test values)."""
+    S_of = _parse_reference_full_matrix()
+    if S_of is None:
+        import pytest
+
+        pytest.skip("reference source not mounted")
+    rng = np.random.default_rng(7)
+    for Ag, Ri, Ro in ((OPAMP_GAIN, OPAMP_RIN, OPAMP_ROUT), (7.0, 1e4, 10.0)):
+        net = tube_screamer_netlist(Ag, Ri, Ro)
+        for _ in range(5):
+            Rb, Rc, Rd = rng.uniform(100.0, 1e6, size=3)
+            ra = float(adapted_resistance(net, np.array([Rb, Rc, Rd]), xp=np))
+            S = scattering_matrix(net, np.array([ra, Rb, Rc, Rd]), xp=np)
+            Sr = S_of(Rb, Rc, Rd, Ag, Ri, Ro)
+            np.testing.assert_allclose(S, Sr, rtol=1e-7, atol=1e-9)
+
+
+def test_f32_traced_derivation_close_to_f64():
+    """The in-graph (jit, float32) derivation must stay close to the float64
+    host bake at the Tube Screamer operating point."""
+    fs = 48000.0
+    rb = 1.0 / (1.0 / (1.0 + 1.0 / (2.0 * 1.0e-6 * fs)) + 1.0 / 10.0e3)
+    rc = 4.7e3 + 1.0 / (2.0 * 0.047e-6 * fs)
+    rd = 1.0e6
+    net = tube_screamer_netlist()
+    S64, ra64 = bake_static_scatter(net, [rb, rc, rd])
+    s_fn = make_netlist_scatter_fn(net)
+    S32, ra32 = jax.jit(s_fn)([jnp.float32(rb), jnp.float32(rc), jnp.float32(rd)])
+    np.testing.assert_allclose(float(ra32), float(ra64), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(S32), np.asarray(S64), atol=2e-3)
+
+
+def test_tube_screamer_runs_and_clips():
+    """End-to-end Tube Screamer: finite output, and the op-amp stage actually
+    drives the diodes (output distorted relative to the linear gain)."""
+    fs = 48000.0
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d, quality="best")
+    ckt = make_tube_screamer(root, fs, drive=1.0)
+    params = {**ckt.init_params(), **root.init_params()}
+    state = ckt.init_state()
+
+    n = np.arange(2048)
+    vin = (0.5 * np.sin(2 * np.pi * 220.0 * n / fs)).astype(np.float32)
+    out, _ = jax.jit(lambda p, s, i: ckt.process(p, s, i))(
+        params, state, {"Vin": {"v": jnp.asarray(vin)}}
+    )
+    out = np.asarray(out)
+    assert np.all(np.isfinite(out))
+    peak = np.max(np.abs(out[200:]))
+    assert 0.3 < peak < 3.0, peak  # diode-clamped around a volt-ish
+    # harmonic distortion present: output not proportional to input
+    lin = vin * (peak / 0.5)
+    resid = np.mean((out[200:] - lin[200:]) ** 2) / np.mean(out[200:] ** 2)
+    assert resid > 1e-3
+
+
+def test_drive_pot_changes_gain():
+    fs = 48000.0
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    n = np.arange(1024)
+    vin = (0.02 * np.sin(2 * np.pi * 440.0 * n / fs)).astype(np.float32)
+    peaks = []
+    for drive in (0.0, 1.0):
+        ckt = make_tube_screamer(root, fs, drive=drive)
+        params = {**ckt.init_params(), **root.init_params()}
+        out, _ = ckt.process(params, ckt.init_state(), {"Vin": {"v": jnp.asarray(vin)}})
+        peaks.append(float(np.max(np.abs(np.asarray(out)[500:]))))
+    assert peaks[1] > peaks[0] * 2.0, peaks  # more drive -> more gain
