@@ -1,0 +1,357 @@
+"""Pallas TPU kernels: fused diode-clipper sample recursion.
+
+The clipper's per-sample body (parallel-adaptor scatter, Wright-omega or MLP
+root solve, state update — reference hot loop ``DiodeClipperWDF.cpp:18-30``)
+is a tiny amount of VPU math with a strict sequential dependence on one
+capacitor state.  Under plain XLA the scan pays per-iteration overhead and
+round-trips HBM for the input/output slices; these kernels instead keep the
+batch-tile of input, output, and carried state resident in VMEM and run the
+whole time loop inside one kernel launch.
+
+Layout: batch B is tiled into groups of 1024 arranged as (8 sublanes x 128
+lanes) so each time step is full-width VPU work.  The host wrapper reshapes
+(B, T) -> (nb, T*8, 128) where row block [8t : 8t+8] of tile i holds sample t
+for batch elements [i*1024 : (i+1)*1024].  Time is chunked (grid dim 1) so a
+tile's input/output blocks fit VMEM; the capacitor state lives in a VMEM
+scratch that persists across the time-chunk grid steps (Pallas TPU grids
+iterate the last axis fastest).
+
+Two roots are provided:
+
+- analytic asymmetric diode pair (Werner eqn 45) with the region-split +
+  Newton Wright-omega evaluated inline (quality = Newton iteration count);
+- neural MLP root ("NxH" family).  The hidden layer's (H x H) contraction is
+  expressed as a Kronecker-expanded (128 x 128) matmul so the per-step
+  batch tile (8, 128) rides the MXU without any sublane/lane reshuffle:
+  with h1 stored as H stacked (8, 128) blocks, kron(W2^T, I_8) @ h1
+  computes all H outputs in one MXU pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BT = 1024  # batch tile (8 sublanes x 128 lanes)
+_SUB, _LANE = 8, 128
+
+
+def _pack(x):  # (B, T) -> (nb, T*8, 128)
+    B, T = x.shape
+    nb = B // BT
+    # (B, T) -> (nb, 8, 128, T): batch index b = i*1024 + s*128 + l
+    x = x.reshape(nb, _SUB, _LANE, T)
+    x = jnp.transpose(x, (0, 3, 1, 2))  # (nb, T, 8, 128)
+    return x.reshape(nb, T * _SUB, _LANE)
+
+
+def _unpack(y, B, T):  # inverse of _pack
+    nb = B // BT
+    y = y.reshape(nb, T, _SUB, _LANE)
+    y = jnp.transpose(y, (0, 2, 3, 1))
+    return y.reshape(B, T)
+
+
+def _pack_state(z):  # (B,) -> (nb, 8, 128)
+    nb = z.shape[0] // BT
+    return z.reshape(nb, _SUB, _LANE)
+
+
+def _unpack_state(z):  # (nb, 8, 128) -> (B,)
+    return z.reshape(-1)
+
+
+def _omega_inline(x, iters: int):
+    """Real-line Wright omega, same math as roots.omega (pure jnp: runs on
+    the VPU inside the kernel)."""
+    u_neg = x - jnp.exp(x)
+    t = x - 1.0
+    w_mid = 1.0 + 0.5 * t + 0.0625 * t * t
+    u_mid = jnp.log(w_mid)
+    xs = jnp.maximum(x, 2.0)
+    lx = jnp.log(xs)
+    u_pos = jnp.log(xs - lx + lx / xs)
+    u = jnp.where(x <= -1.0, u_neg, jnp.where(x >= 2.0, u_pos, u_mid))
+    for _ in range(iters):
+        eu = jnp.exp(u)
+        u = u - (eu + u - x) / (eu + 1.0)
+    return jnp.exp(u)
+
+
+def _analytic_kernel(const_ref, in_ref, z0_ref, out_ref, zf_ref, z_scr, *, tc, iters):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        z_scr[:] = z0_ref[0]
+
+    p1R = const_ref[0, 0]
+    log_up = const_ref[0, 1]    # log(R Is / (n_up Vt))
+    log_dn = const_ref[0, 2]    # log(R Is / (n_down Vt))
+    inv_up = const_ref[0, 3]    # 1 / (n_up Vt)
+    inv_dn = const_ref[0, 4]    # 1 / (n_down Vt)
+    two_vt = const_ref[0, 5]
+    n_up = const_ref[0, 6]
+    n_dn = const_ref[0, 7]
+
+    def body(t, _):
+        v = in_ref[0, pl.ds(t * _SUB, _SUB), :]
+        z = z_scr[:]
+        # parallel adaptor up:  b = z + b_temp
+        b_diff = z - v
+        b_temp = -p1R * b_diff
+        a = z + b_temp
+        # asymmetric diode pair (eqn 45)
+        lam = jnp.sign(a)
+        pos = a >= 0
+        mu0 = jnp.where(pos, n_dn, n_up)
+        mu1 = jnp.where(pos, n_up, n_dn)
+        log0 = jnp.where(pos, log_dn, log_up)
+        log1 = jnp.where(pos, log_up, log_dn)
+        inv0 = jnp.where(pos, inv_dn, inv_up)
+        inv1 = jnp.where(pos, inv_up, inv_dn)
+        la = lam * a
+        w0 = _omega_inline(log0 + la * inv0, iters)
+        w1 = _omega_inline(log1 - la * inv1, iters)
+        b_root = a - two_vt * lam * (mu0 * w0 - mu1 * w1)
+        # down: C (port 2 of the parallel adaptor) gets x + b_temp
+        z_new = b_root + b_temp
+        out_ref[0, pl.ds(t * _SUB, _SUB), :] = 0.5 * (z_new + z)
+        z_scr[:] = z_new
+        return 0
+
+    jax.lax.fori_loop(0, tc, body, 0)
+    zf_ref[0] = z_scr[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "quality_iters", "time_chunk", "interpret"),
+)
+def fused_clipper_analytic(
+    vin,
+    z0,
+    r_source,
+    cap,
+    Is,
+    Vt_eff,
+    n_up,
+    n_down,
+    *,
+    fs: float,
+    quality_iters: int = 3,
+    time_chunk: int = 256,
+    interpret: bool = False,
+):
+    """Fused LPF diode clipper with the analytic diode-pair root.
+
+    vin: (B, T) float32, B a multiple of 1024, T a multiple of time_chunk.
+    z0: (B,) initial capacitor state.  Returns (out (B, T), z_final (B,)).
+    Static source R / cap (the bench + inference configuration; the pot-driven
+    training path keeps to the XLA scan, where re-adaptation is cheap).
+    """
+    B, T = vin.shape
+    assert B % BT == 0 and T % time_chunk == 0, (B, T)
+    nb, nt = B // BT, T // time_chunk
+
+    r_c = 1.0 / (2.0 * cap * fs)
+    g = 1.0 / r_source + 1.0 / r_c
+    p1R = (1.0 / r_source) / g
+    r_up = 1.0 / g
+    consts = jnp.stack(
+        [
+            p1R,
+            jnp.log(r_up * Is / (n_up * Vt_eff)),
+            jnp.log(r_up * Is / (n_down * Vt_eff)),
+            1.0 / (n_up * Vt_eff),
+            1.0 / (n_down * Vt_eff),
+            2.0 * Vt_eff,
+            n_up * jnp.ones(()),
+            n_down * jnp.ones(()),
+        ]
+    ).astype(jnp.float32)[None, :]
+
+    x = _pack(vin)
+    z = _pack_state(z0)
+
+    kernel = functools.partial(_analytic_kernel, tc=time_chunk, iters=quality_iters)
+    out, zf = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, time_chunk * _SUB, _LANE),
+                lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, _SUB, _LANE), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, time_chunk * _SUB, _LANE),
+                lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, _SUB, _LANE), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            jax.ShapeDtypeStruct(z.shape, jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((_SUB, _LANE), jnp.float32)],
+        interpret=interpret,
+    )(consts, x, z)
+    return _unpack(out, B, T), _unpack_state(zf)
+
+
+# ---------------------------------------------------------------------------
+# Neural-root kernel
+# ---------------------------------------------------------------------------
+
+
+def _kron_weights(mlp_params, log_r):
+    """Precompute Kronecker-expanded weights for the neural kernel.
+
+    Supports the reference "2xH" family (4 dense layers: H-H-H-1).  Layers 2
+    and 3 (both H->H) are folded into the expanded forms; deeper nets fall
+    back to the XLA path.
+    """
+    layers = mlp_params["layers"]
+    assert len(layers) == 4, "fused neural kernel supports the 2xH family"
+    W1, b1 = layers[0]["kernel"], layers[0]["bias"]  # (2,H), (H,)
+    W2, b2 = layers[1]["kernel"], layers[1]["bias"]  # (H,H)
+    W2b, b2b = layers[2]["kernel"], layers[2]["bias"]  # (H,H)
+    W3, b3 = layers[3]["kernel"], layers[3]["bias"]  # (H,1), (1,)
+    H = W1.shape[1]
+    eye8 = jnp.eye(_SUB, dtype=jnp.float32)
+    # K1: (H*8, 8) = kron(w_a (H,1), I8)
+    k1 = jnp.kron(W1[0:1, :].T, eye8)  # (H*8, 8)
+    c1 = (W1[1] * log_r + b1)  # (H,)
+    c1 = jnp.repeat(c1, _SUB)[:, None]  # (H*8, 1)
+    # fold hidden layers: two H->H tanh layers; expand each
+    k2 = jnp.kron(W2.T, eye8)  # (H*8, H*8)
+    c2 = jnp.repeat(b2, _SUB)[:, None]
+    k2b = jnp.kron(W2b.T, eye8)
+    c2b = jnp.repeat(b2b, _SUB)[:, None]
+    w3 = jnp.kron(W3[:, 0:1].T, eye8)  # (8, H*8)
+    return H, k1, c1, k2, c2, k2b, c2b, w3, b3[0]
+
+
+def _neural_kernel_2h(const_ref, in_ref, z0_ref, k1_ref, c1_ref, k2_ref, c2_ref,
+                      k2b_ref, c2b_ref, w3_ref, out_ref, zf_ref, z_scr, *, tc, H):
+    """Variant with two H->H hidden layers (the reference 2xH family)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        z_scr[:] = z0_ref[0]
+
+    p1R = const_ref[0, 0]
+    b3 = const_ref[0, 1]
+    HS = H * _SUB
+
+    def body(t, _):
+        v = in_ref[0, pl.ds(t * _SUB, _SUB), :]
+        z = z_scr[:]
+        b_diff = z - v
+        b_temp = -p1R * b_diff
+        a = z + b_temp
+        h = jnp.tanh(
+            jnp.dot(k1_ref[...], a, preferred_element_type=jnp.float32)
+            + c1_ref[...]
+        )
+        h = jnp.tanh(
+            jnp.dot(k2_ref[...], h, preferred_element_type=jnp.float32)
+            + c2_ref[...]
+        )
+        h = jnp.tanh(
+            jnp.dot(k2b_ref[...], h, preferred_element_type=jnp.float32)
+            + c2b_ref[...]
+        )
+        y = jnp.dot(w3_ref[...], h, preferred_element_type=jnp.float32) + b3
+        b_root = -y
+        z_new = b_root + b_temp
+        out_ref[0, pl.ds(t * _SUB, _SUB), :] = 0.5 * (z_new + z)
+        z_scr[:] = z_new
+        return 0
+
+    jax.lax.fori_loop(0, tc, body, 0)
+    zf_ref[0] = z_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "time_chunk", "interpret"))
+def fused_clipper_neural(
+    vin,
+    z0,
+    mlp_params,
+    r_source,
+    cap,
+    *,
+    fs: float,
+    time_chunk: int = 256,
+    interpret: bool = False,
+):
+    """Fused LPF diode clipper with a 2xH neural root (all-tanh, linear head).
+
+    vin: (B, T), B multiple of 1024.  Returns (out, z_final).
+    """
+    B, T = vin.shape
+    assert B % BT == 0 and T % time_chunk == 0, (B, T)
+    nb, nt = B // BT, T // time_chunk
+
+    r_c = 1.0 / (2.0 * cap * fs)
+    g = 1.0 / r_source + 1.0 / r_c
+    p1R = (1.0 / r_source) / g
+    r_up = 1.0 / g
+    log_r = jnp.log(r_up)
+
+    H, k1, c1, k2, c2, k2b, c2b, w3, b3 = _kron_weights(mlp_params, log_r)
+    consts = jnp.stack([p1R, b3]).astype(jnp.float32)[None, :]
+
+    x = _pack(vin)
+    z = _pack_state(z0)
+    HS = H * _SUB
+
+    kernel = functools.partial(_neural_kernel_2h, tc=time_chunk, H=H)
+    full = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    out, zf = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, time_chunk * _SUB, _LANE), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((HS, _SUB)),    # k1
+            full((HS, 1)),       # c1
+            full((HS, HS)),      # k2
+            full((HS, 1)),       # c2
+            full((HS, HS)),      # k2b
+            full((HS, 1)),       # c2b
+            full((_SUB, HS)),    # w3
+        ],
+        out_specs=[
+            pl.BlockSpec((1, time_chunk * _SUB, _LANE), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            jax.ShapeDtypeStruct(z.shape, jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((_SUB, _LANE), jnp.float32)],
+        interpret=interpret,
+    )(consts, x, z, k1, c1, k2, c2, k2b, c2b, w3)
+    return _unpack(out, B, T), _unpack_state(zf)

@@ -1,0 +1,116 @@
+"""Fused Pallas clipper kernels vs the reference-parity scan engine.
+
+On CPU these run in Pallas interpret mode; the same code compiles for TPU
+(benchmarked by bench.py on hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import diffwdf_tpu as dwdf
+from diffwdf_tpu.models.diode_clipper import make_diode_clipper
+from diffwdf_tpu.ops.fused_clipper import (
+    fused_clipper_analytic,
+    fused_clipper_neural,
+)
+from diffwdf_tpu.roots.neural import NeuralDiodeRoot
+
+FS = 96000.0
+R_SRC = 47.0e3
+CAP = 2.2e-9
+
+
+def _engine_reference(root, params, vin):
+    ckt = make_diode_clipper(root, FS, r_source=R_SRC, cap=CAP)
+    state = ckt.init_state()
+
+    def one(v):
+        out, st = ckt.process(params, state, {"Vs": {"v": v}})
+        return out, st["C"]["z"]
+
+    outs, zf = jax.vmap(one)(vin)
+    return np.asarray(outs), np.asarray(zf)
+
+
+def test_fused_analytic_matches_engine():
+    diode = dwdf.diode_1n4148_1u2d  # asymmetric: exercises the sign-select
+    root = dwdf.DiodePairRoot(name="dp", diode=diode, quality="best")
+    params = root.init_params()
+    tree_params = make_diode_clipper(root, FS, R_SRC, CAP).init_params()
+    params = {**tree_params, **params}
+
+    B, T = 1024, 512
+    rng = np.random.default_rng(0)
+    vin = jnp.asarray(
+        (2.0 * rng.standard_normal((B, T))).astype(np.float32)
+    )
+    want, want_z = _engine_reference(root, params, vin)
+
+    Vt = diode.Vt * diode.nabla
+    got, got_z = fused_clipper_analytic(
+        vin,
+        jnp.zeros((B,), jnp.float32),
+        R_SRC,
+        CAP,
+        diode.Is,
+        Vt,
+        float(diode.N_up),
+        float(diode.N_down),
+        fs=FS,
+        time_chunk=128,
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got_z), want_z, atol=5e-6)
+
+
+def test_fused_analytic_state_carry():
+    """Running two half-signals with carried state == one full signal."""
+    diode = dwdf.diode_1n4148_1u1d
+    Vt = diode.Vt * diode.nabla
+    B, T = 1024, 256
+    rng = np.random.default_rng(1)
+    vin = jnp.asarray((1.5 * rng.standard_normal((B, T))).astype(np.float32))
+    interp = jax.default_backend() != "tpu"
+
+    args = (R_SRC, CAP, diode.Is, Vt, 1.0, 1.0)
+    full, zf = fused_clipper_analytic(
+        vin, jnp.zeros((B,)), *args, fs=FS, time_chunk=128, interpret=interp
+    )
+    h1, z1 = fused_clipper_analytic(
+        vin[:, : T // 2], jnp.zeros((B,)), *args, fs=FS, time_chunk=128,
+        interpret=interp
+    )
+    h2, z2 = fused_clipper_analytic(
+        vin[:, T // 2 :], z1, *args, fs=FS, time_chunk=128, interpret=interp
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.concatenate([h1, h2], axis=1), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(zf), np.asarray(z2), atol=1e-6)
+
+
+def test_fused_neural_matches_engine():
+    root = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=16)
+    params = root.init_params(jax.random.PRNGKey(7))
+    tree_params = make_diode_clipper(root, FS, R_SRC, CAP).init_params()
+    all_params = {**tree_params, **params}
+
+    B, T = 1024, 256
+    rng = np.random.default_rng(2)
+    vin = jnp.asarray((2.0 * rng.standard_normal((B, T))).astype(np.float32))
+    want, want_z = _engine_reference(root, all_params, vin)
+
+    got, got_z = fused_clipper_neural(
+        vin,
+        jnp.zeros((B,), jnp.float32),
+        params["dp"],
+        R_SRC,
+        CAP,
+        fs=FS,
+        time_chunk=128,
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_z), want_z, atol=2e-5)
