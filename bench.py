@@ -1,0 +1,152 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: diode-clipper audio throughput per chip (Msamples/s) at the
+reference bench configuration (96 kHz audio, neural 2x16 root — the setup of
+``plugin/bench/diode_clipper_bench.cpp:7-31``), batched the TPU way.
+
+vs_baseline: ratio against the same workload executed by this framework's
+scan engine on the host CPU backend (the closest stand-in for the reference's
+single-process CPU engine; the reference publishes no timing numbers).
+
+Details (all root models, XLA vs Pallas, batch sweep) go to BENCH_DETAILS.json.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, args_list, n=20):
+    import jax
+
+    out = fn(args_list[0])
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    t0 = time.time()
+    for i in range(n):
+        out = fn(args_list[i % len(args_list)])
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    return (time.time() - t0) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    import diffwdf_tpu as dwdf
+    from diffwdf_tpu.models.diode_clipper import make_diode_clipper
+    from diffwdf_tpu.ops.fused_clipper import (
+        fused_clipper_analytic,
+        fused_clipper_neural,
+    )
+    from diffwdf_tpu.roots.neural import NeuralDiodeRoot
+
+    fs = 96000.0
+    r_src, cap = 47.0e3, 2.2e-9
+    diode = dwdf.diode_1n4148_1u1d
+    vt = diode.Vt * diode.nabla
+    B, T = 8192, 2048
+
+    details = {"config": {"fs": fs, "B": B, "T": T, "backend": str(jax.devices())}}
+
+    key = jr.PRNGKey(0)
+    vins = [jr.normal(jr.fold_in(key, i), (B, T), jnp.float32) * 2 for i in range(4)]
+    for v in vins:
+        v.block_until_ready()
+    z0 = jnp.zeros((B,), jnp.float32)
+
+    # --- neural 2x16 (flagship) -------------------------------------------
+    nroot = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=16)
+    nparams = nroot.init_params(jr.PRNGKey(0))
+    ckt_n = make_diode_clipper(nroot, fs, r_src, cap)
+    pn = {**ckt_n.init_params(), **nparams}
+    st = ckt_n.init_state()
+
+    @jax.jit
+    def xla_neural(v):
+        def one(vv):
+            out, _ = ckt_n.process(pn, st, {"Vs": {"v": vv}})
+            return out
+
+        return jax.vmap(one)(v)
+
+    dt_xla_n = _timeit(xla_neural, vins)
+    dt_pl_n = _timeit(
+        lambda v: fused_clipper_neural(v, z0, nparams["dp"], r_src, cap, fs=fs), vins
+    )
+    neural_msps = B * T / min(dt_xla_n, dt_pl_n) / 1e6
+    details["neural_2x16"] = {
+        "xla_ms": dt_xla_n * 1e3,
+        "pallas_ms": dt_pl_n * 1e3,
+        "msamples_per_s": neural_msps,
+    }
+
+    # --- analytic (TOMS-equivalent) ---------------------------------------
+    aroot = dwdf.DiodePairRoot(name="dp", diode=diode, quality="best")
+    ckt_a = make_diode_clipper(aroot, fs, r_src, cap)
+    pa = {**ckt_a.init_params(), **aroot.init_params()}
+
+    @jax.jit
+    def xla_analytic(v):
+        def one(vv):
+            out, _ = ckt_a.process(pa, st, {"Vs": {"v": vv}})
+            return out
+
+        return jax.vmap(one)(v)
+
+    dt_xla_a = _timeit(xla_analytic, vins)
+    dt_pl_a = _timeit(
+        lambda v: fused_clipper_analytic(
+            v, z0, r_src, cap, diode.Is, vt, 1.0, 1.0, fs=fs
+        ),
+        vins,
+    )
+    details["analytic_toms"] = {
+        "xla_ms": dt_xla_a * 1e3,
+        "pallas_ms": dt_pl_a * 1e3,
+        "msamples_per_s": B * T / min(dt_xla_a, dt_pl_a) / 1e6,
+    }
+
+    # --- CPU baseline: same neural workload on the host backend -----------
+    cpu = jax.devices("cpu")[0]
+    Bc, Tc = 256, 2048  # smaller batch, scaled (CPU throughput ~ linear in B)
+    with jax.default_device(cpu):
+        vin_c = jax.device_put(np.asarray(vins[0][:Bc, :Tc]), cpu)
+
+        cpu_fn = jax.jit(
+            lambda v: jax.vmap(
+                lambda vv: ckt_n.process(pn, st, {"Vs": {"v": vv}})[0]
+            )(v),
+            device=cpu,
+        )
+        out = cpu_fn(vin_c).block_until_ready()
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            out = cpu_fn(vin_c)
+        out.block_until_ready()
+        dt_cpu = (time.time() - t0) / reps
+    cpu_msps = Bc * Tc / dt_cpu / 1e6
+    details["cpu_baseline_neural"] = {"ms": dt_cpu * 1e3, "msamples_per_s": cpu_msps}
+
+    vs_baseline = neural_msps / cpu_msps
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "diode_clipper_neural2x16_throughput_per_chip",
+                "value": round(neural_msps, 1),
+                "unit": "Msamples/s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
