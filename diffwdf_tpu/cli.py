@@ -1,0 +1,322 @@
+"""Command-line entry points for the framework's workloads.
+
+The reference has no CLI (its scripts are Jupyter-style cell files with
+constants edited at the top, ``clipper_pot.py:36-39``); this module gives
+every workload a reproducible invocation:
+
+    python -m diffwdf_tpu.cli pretrain --diode 1u1d --layers 2 --width 16
+    python -m diffwdf_tpu.cli train-clipper --synthetic --diode 1u1d ...
+    python -m diffwdf_tpu.cli simulate --circuit tube_screamer --drive 0.8
+    python -m diffwdf_tpu.cli fit-components --circuit lpf
+    python -m diffwdf_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+DIODES = {
+    "default": "default_diode",
+    "1u1d": "diode_1n4148_1u1d",
+    "1u2d": "diode_1n4148_1u2d",
+    "1u3d": "diode_1n4148_1u3d",
+    "2u2d": "diode_1n4148_2u2d",
+    "2u3d": "diode_1n4148_2u3d",
+    "3u3d": "diode_1n4148_3u3d",
+}
+
+
+def _diode(name):
+    import diffwdf_tpu.roots.diode as d
+
+    return getattr(d, DIODES[name])
+
+
+def cmd_pretrain(args):
+    import jax
+
+    from .analysis import plot_history, plot_transconductance
+    from .nn.serialization import save_model_json
+    from .roots.neural import mlp_arch
+    from .training.pretrain import PretrainConfig, evaluate_pretrained, pretrain_diode
+
+    diode = _diode(args.diode)
+    cfg = PretrainConfig(
+        n_layers=args.layers,
+        layer_size=args.width,
+        epochs=args.epochs,
+        learning_rate=args.lr,
+        batch_size=args.batch_size,
+        seed=args.seed,
+    )
+    params, acts, metrics = pretrain_diode(diode, cfg)
+    final = evaluate_pretrained(params, acts, diode, cfg)
+    print(json.dumps({"diode": diode.name, "arch": f"{args.layers}x{args.width}",
+                      **final}))
+    out = args.out or f"{diode.name}_{args.layers}x{args.width}_pretrained_model.json"
+    save_model_json(params, acts, out)
+    print(f"saved {out}")
+    if args.plots_dir:
+        os.makedirs(args.plots_dir, exist_ok=True)
+        hist = {k: list(np.asarray(v)) for k, v in metrics.items()}
+        plot_history(hist, os.path.join(args.plots_dir, "pretrain_history.png"))
+        plot_transconductance(
+            params, acts, diode,
+            os.path.join(args.plots_dir, "transconductance.png"),
+        )
+
+
+def cmd_train_clipper(args):
+    import jax
+
+    from .analysis import plot_history
+    from .data.dataimport import load_diode_data
+    from .data.synthetic import make_synthetic_dataset_dir
+    from .models.diode_clipper import make_training_clipper
+    from .nn.serialization import load_model_json, save_model_json
+    from .roots.neural import NeuralDiodeRoot
+    from .training.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+    from .training.circuit_train import (
+        CircuitTrainConfig,
+        make_clipper_batches,
+        train_clipper,
+    )
+    from .training.metrics import MetricsLogger
+
+    diode = _diode(args.diode)
+    if args.synthetic or not args.data_dir:
+        data_dir = args.data_dir or "synthetic_dataset"
+        sub = os.path.join(
+            data_dir, "1N4148", f"{diode.N_up}up{diode.N_down}down"
+        )
+        if not os.path.isdir(sub):
+            print(f"synthesizing dataset under {data_dir} ...")
+            make_synthetic_dataset_dir(
+                data_dir, diode, fs=args.fs, duration_s=18.0
+            )
+        base = data_dir
+    else:
+        base = args.data_dir
+    train, val, fs = load_diode_data(diode, base)
+    print(f"train {len(train['x'])} samples, val {len(val['x'])}, fs {fs}")
+
+    if args.pretrained:
+        mlp, acts, _ = load_model_json(args.pretrained)
+        root, frag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
+    else:
+        root = NeuralDiodeRoot(name="dp", n_layers=args.layers, layer_size=args.width)
+        frag = root.init_params(jax.random.PRNGKey(args.seed))
+    circuit = make_training_clipper(root, fs, cap=args.cap)
+    params = {**circuit.init_params(), **frag}
+
+    cfg = CircuitTrainConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        max_chunks=args.max_chunks,
+    )
+    tb = make_clipper_batches(train, cfg.batch_size, cfg.max_chunks)
+    vb = make_clipper_batches(val, cfg.batch_size, cfg.max_chunks) if len(val["x"]) else None
+
+    logger = MetricsLogger(args.log or "train_clipper.jsonl", print_every=args.log_every)
+
+    def only_root(grads):
+        import jax.numpy as jnp
+
+        z = jax.tree_util.tree_map(jnp.zeros_like, grads)
+        z["dp"] = grads["dp"]
+        return z
+
+    def on_epoch(epoch, p, hist):
+        logger.log(epoch, samples=int(tb["x"].size),
+                   **{k: v[-1] for k, v in hist.items() if v})
+        if args.ckpt_dir:
+            save_checkpoint(
+                os.path.join(args.ckpt_dir, f"step_{epoch}"), p, step=epoch
+            )
+
+    params, hist = train_clipper(
+        circuit, params, tb, vb, cfg, trainable_filter=only_root, on_epoch=on_epoch
+    )
+    out = args.out or f"{diode.name}_{args.layers}x{args.width}_circuit_trained.json"
+    save_model_json(params["dp"], root.activations, out)
+    print(f"saved {out}; final loss {hist['loss'][-1]:.6g}")
+    if args.plots_dir:
+        os.makedirs(args.plots_dir, exist_ok=True)
+        plot_history(hist, os.path.join(args.plots_dir, "clipper_history.png"))
+
+
+def cmd_simulate(args):
+    import jax.numpy as jnp
+
+    import diffwdf_tpu as dwdf
+    from .models.diode_clipper import make_diode_clipper, make_hpf_diode_clipper
+    from .models.tube_screamer import make_tube_screamer
+    from .roots.neural import NeuralDiodeRoot
+
+    if args.model_json:
+        mlp, acts, _ = dwdf.load_model_json(args.model_json)
+        root, frag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
+    else:
+        root = dwdf.DiodePairRoot(
+            name="dp", diode=_diode(args.diode), quality=args.quality
+        )
+        frag = root.init_params()
+
+    fs = args.fs
+    if args.circuit == "clipper":
+        ckt = make_diode_clipper(root, fs)
+        drive_node = "Vs"
+    elif args.circuit == "hpf_clipper":
+        ckt = make_hpf_diode_clipper(root, fs)
+        drive_node = "Vs"
+    elif args.circuit == "tube_screamer":
+        ckt = make_tube_screamer(root, fs, drive=args.drive)
+        drive_node = "Vin"
+    else:
+        raise SystemExit(f"unknown circuit {args.circuit}")
+    params = {**ckt.init_params(), **frag}
+
+    if args.input:
+        x = np.load(args.input).astype(np.float32)
+    else:
+        n = np.arange(int(args.seconds * fs))
+        x = (args.amp * np.sin(2 * np.pi * args.freq * n / fs)).astype(np.float32)
+    out, _ = ckt.process(params, ckt.init_state(), {drive_node: {"v": jnp.asarray(x)}})
+    out = np.asarray(out)
+    np.save(args.out or "sim_out.npy", out)
+    print(
+        json.dumps(
+            {
+                "samples": len(out),
+                "peak": float(np.max(np.abs(out))),
+                "rms": float(np.sqrt(np.mean(out**2))),
+                "out": args.out or "sim_out.npy",
+            }
+        )
+    )
+
+
+def cmd_fit_components(args):
+    import jax.numpy as jnp
+    import scipy.signal as sig
+
+    import diffwdf_tpu as dwdf
+    from .training.circuit_train import fit_components
+
+    fs = args.fs
+    if args.circuit == "divider":
+        R1 = dwdf.Resistor("R1", 2.0e3, trainable=True)
+        R2 = dwdf.Resistor("R2", 100.0, trainable=True)
+        tree = dwdf.Inverter("I1", dwdf.Series("S1", R1, R2))
+        ckt = dwdf.Circuit(tree=tree, root=dwdf.IdealVoltageSourceRoot("Vs"),
+                           fs=fs, outputs=("R1",))
+        n = np.arange(512)
+        vin = np.sin(2 * np.pi * 100 * n / fs).astype(np.float32)
+        target = 0.5 * vin
+        lrs = {"R1.R": 25.0, "R2.R": 25.0}
+    elif args.circuit == "lpf":
+        R1 = dwdf.Resistor("R1", 1000.0, trainable=True)
+        C1 = dwdf.Capacitor("C1", 1.0e-6, trainable=True)
+        tree = dwdf.Inverter("I1", dwdf.Series("S1", R1, C1))
+        ckt = dwdf.Circuit(tree=tree, root=dwdf.IdealVoltageSourceRoot("Vs"),
+                           fs=fs, outputs=("C1",))
+        T = 1280
+        t = np.arange(T) / fs
+        k = T / fs / np.log(100.0)
+        sweep = np.sin(2 * np.pi * 100.0 * k * (np.exp(t / k) - 1)).astype(np.float32)
+        rc = 1.0 / (2 * np.pi * 720.0)
+        b, a = sig.bilinear([1.0], [rc, 1.0], fs=fs)
+        vin = sweep
+        target = sig.lfilter(b, a, sweep).astype(np.float32)
+        lrs = {"R1.R": 25.0, "C1.C": 10.0e-9}
+    else:
+        raise SystemExit(f"unknown circuit {args.circuit}")
+
+    params, hist = fit_components(
+        ckt, ckt.init_params(), {"Vs": {"v": jnp.asarray(vin)}},
+        jnp.asarray(target), lrs, epochs=args.epochs
+    )
+    result = {"loss": hist["loss"][-1], "params": hist["params"][-1]}
+    print(json.dumps(result, default=float))
+
+
+def cmd_bench(args):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="diffwdf_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("pretrain", help="synthetic diode pretraining")
+    sp.add_argument("--diode", default="1u1d", choices=DIODES)
+    sp.add_argument("--layers", type=int, default=2)
+    sp.add_argument("--width", type=int, default=16)
+    sp.add_argument("--epochs", type=int, default=2000)
+    sp.add_argument("--lr", type=float, default=2e-5)
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--out")
+    sp.add_argument("--plots-dir")
+    sp.set_defaults(fn=cmd_pretrain)
+
+    sp = sub.add_parser("train-clipper", help="circuit-in-the-loop training")
+    sp.add_argument("--diode", default="1u1d", choices=DIODES)
+    sp.add_argument("--data-dir")
+    sp.add_argument("--synthetic", action="store_true")
+    sp.add_argument("--pretrained")
+    sp.add_argument("--layers", type=int, default=2)
+    sp.add_argument("--width", type=int, default=16)
+    sp.add_argument("--epochs", type=int, default=501)
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument("--batch-size", type=int, default=2048)
+    sp.add_argument("--max-chunks", type=int)
+    sp.add_argument("--cap", type=float, default=4.7e-9)
+    sp.add_argument("--fs", type=float, default=48000.0)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--out")
+    sp.add_argument("--log")
+    sp.add_argument("--log-every", type=int, default=5)
+    sp.add_argument("--ckpt-dir")
+    sp.add_argument("--plots-dir")
+    sp.set_defaults(fn=cmd_train_clipper)
+
+    sp = sub.add_parser("simulate", help="run a circuit on a signal")
+    sp.add_argument("--circuit", default="clipper",
+                    choices=("clipper", "hpf_clipper", "tube_screamer"))
+    sp.add_argument("--diode", default="1u1d", choices=DIODES)
+    sp.add_argument("--quality", default="best", choices=("best", "good", "low"))
+    sp.add_argument("--model-json")
+    sp.add_argument("--fs", type=float, default=48000.0)
+    sp.add_argument("--freq", type=float, default=220.0)
+    sp.add_argument("--amp", type=float, default=1.0)
+    sp.add_argument("--seconds", type=float, default=1.0)
+    sp.add_argument("--drive", type=float, default=0.5)
+    sp.add_argument("--input", help=".npy input signal")
+    sp.add_argument("--out")
+    sp.set_defaults(fn=cmd_simulate)
+
+    sp = sub.add_parser("fit-components", help="learn R/C values (sanity workloads)")
+    sp.add_argument("--circuit", default="divider", choices=("divider", "lpf"))
+    sp.add_argument("--epochs", type=int, default=100)
+    sp.add_argument("--fs", type=float, default=48000.0)
+    sp.set_defaults(fn=cmd_fit_components)
+
+    sp = sub.add_parser("bench", help="throughput benchmark")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

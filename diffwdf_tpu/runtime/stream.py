@@ -1,0 +1,202 @@
+"""Streaming block processor — the serving path.
+
+Capability parity with the reference's C++ plugin shell
+(``plugin/src/DifferentiableWDFPlugin.cpp:40-82`` and the circuit wrappers
+``DiodeClipper.cpp:20-50`` etc.): mono summing, ramped input gain, circuit
+dispatch by name, a 25 Hz one-pole DC blocker, per-block parameter updates
+(cutoff -> source R, drive pot), and state carried across blocks so arbitrary
+block sizes stream gap-free.
+
+On TPU the "real-time engine" is a jit-compiled block function; each circuit
+(and block size) compiles once and is then a single device call per block.
+The processor also exposes the parameter schema of each circuit
+(name/kind/range) — the TPU-side equivalent of the reference's GUI parameter
+reflection (``CircuitModelGUI.cpp:55-66``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.circuit import Circuit
+
+DC_BLOCKER_HZ = 25.0  # reference: DifferentiableWDFPlugin.cpp:31
+
+
+@dataclasses.dataclass
+class ParamSpec:
+    """Introspectable parameter descriptor (GUI-reflection parity)."""
+
+    name: str
+    kind: str  # "float" | "choice"
+    lo: float = 0.0
+    hi: float = 1.0
+    default: float = 0.0
+    choices: Tuple[str, ...] = ()
+
+
+def default_clipper_params() -> Tuple[ParamSpec, ...]:
+    """The DiodeClipper parameter set (``DiodeClipper.cpp:20-31``)."""
+    return (
+        ParamSpec("gain_db", "float", -18.0, 18.0, 0.0),
+        ParamSpec("cutoff_hz", "float", 200.0, 20000.0, 4000.0),
+        ParamSpec("model", "choice", choices=("toms", "approx", "neural")),
+    )
+
+
+def _dc_blocker_coeff(fs: float, f_hz: float = DC_BLOCKER_HZ) -> float:
+    return 1.0 - 2.0 * math.pi * f_hz / fs
+
+
+class StreamingProcessor:
+    """Block-streaming WDF processor with gain ramp + DC blocker.
+
+    circuits: {name: (Circuit, params)}; the active circuit is selected per
+    block (each compiles once — the TPU analogue of the reference's root
+    hot-swap, ``DiodeClipperWDF.cpp:36-41``).
+    """
+
+    def __init__(self, circuits: Dict[str, Tuple[Circuit, Any]], fs: float):
+        self.circuits = dict(circuits)
+        self.fs = fs
+        self._fns: Dict[Tuple[str, int], Callable] = {}
+        self._state: Dict[str, Any] = {
+            name: ckt.init_state() for name, (ckt, _) in circuits.items()
+        }
+        self._dc_state = (jnp.zeros(()), jnp.zeros(()))  # (x1, y1)
+        self._gain = 1.0
+        self._load_acc = 0.0
+        self._load = 0.0
+
+    # -- parameter schema (GUI reflection parity) --------------------------
+    def param_specs(self, name: str) -> Tuple[ParamSpec, ...]:
+        return default_clipper_params()
+
+    @property
+    def load(self) -> float:
+        """Smoothed processing-load estimate (CPU-meter parity,
+        ``CPUMeter.h:42-80``): device time / block duration."""
+        return self._load
+
+    # -- core ---------------------------------------------------------------
+    def _block_fn(self, name: str, block_len: int) -> Callable:
+        key = (name, block_len)
+        if key not in self._fns:
+            ckt, params = self.circuits[name]
+            rho = _dc_blocker_coeff(self.fs)
+
+            @jax.jit
+            def fn(params, state, dc_state, vin, gain0, gain1):
+                t = (jnp.arange(block_len) + 1.0) / block_len
+                g = gain0 + (gain1 - gain0) * t  # per-sample gain ramp
+                out, state = ckt.process(params, state, {"Vs": {"v": vin * g}})
+
+                def dc_step(carry, x):
+                    x1, y1 = carry
+                    y = x - x1 + rho * y1
+                    return (x, y), y
+
+                dc_state, out = jax.lax.scan(dc_step, dc_state, out)
+                return out, state, dc_state
+
+            self._fns[key] = fn
+        return self._fns[key]
+
+    def process_block(
+        self,
+        audio: np.ndarray,
+        circuit: str,
+        gain_db: float = 0.0,
+    ) -> np.ndarray:
+        """Process one audio block.
+
+        audio: (T,) mono or (C, T) multichannel — summed to mono, processed,
+        fanned back out to all channels (``DifferentiableWDFPlugin.cpp:50-81``).
+        """
+        x = np.asarray(audio, dtype=np.float32)
+        multi = x.ndim == 2
+        mono = x.mean(axis=0) if multi else x
+        T = mono.shape[-1]
+
+        gain1 = float(10.0 ** (gain_db / 20.0))
+        fn = self._block_fn(circuit, T)
+        _, params = self.circuits[circuit]
+        t0 = time.perf_counter()
+        out, state, dc_state = fn(
+            params,
+            self._state[circuit],
+            self._dc_state,
+            jnp.asarray(mono),
+            self._gain,
+            gain1,
+        )
+        out = np.asarray(out)
+        dt = time.perf_counter() - t0
+        block_dur = T / self.fs
+        self._load = 0.9 * self._load + 0.1 * (dt / block_dur)
+
+        self._state[circuit] = state
+        self._dc_state = dc_state
+        self._gain = gain1
+        if multi:
+            return np.broadcast_to(out, x.shape).copy()
+        return out
+
+    def reset(self):
+        for name, (ckt, _) in self.circuits.items():
+            self._state[name] = ckt.init_state()
+        self._dc_state = (jnp.zeros(()), jnp.zeros(()))
+
+    def set_params(self, circuit: str, params) -> None:
+        self.circuits[circuit] = (self.circuits[circuit][0], params)
+
+
+def make_clipper_processor(
+    fs: float,
+    cutoff_hz: float = 4000.0,
+    models: Tuple[str, ...] = ("toms", "approx", "neural_2x16"),
+    mlp_json: Optional[str] = None,
+) -> StreamingProcessor:
+    """Build the reference plugin's circuit set: diode clipper under all
+    root models, with cutoff mapped to source resistance."""
+    import diffwdf_tpu as dwdf
+    from ..models.diode_clipper import cutoff_to_resistance, make_diode_clipper
+    from ..nn.serialization import load_model_json
+    from ..roots.neural import NeuralDiodeRoot
+
+    cap = 2.2e-9
+    r = cutoff_to_resistance(cutoff_hz, cap)
+    circuits = {}
+    for m in models:
+        if m == "toms":
+            root = dwdf.DiodePairRoot(
+                name="dp", diode=dwdf.diode_1n4148_1u1d, quality="best"
+            )
+            ckt = make_diode_clipper(root, fs, r_source=r, cap=cap)
+            params = {**ckt.init_params(), **root.init_params()}
+        elif m == "approx":
+            root = dwdf.DiodePairRoot(
+                name="dp", diode=dwdf.diode_1n4148_1u1d, quality="low"
+            )
+            ckt = make_diode_clipper(root, fs, r_source=r, cap=cap)
+            params = {**ckt.init_params(), **root.init_params()}
+        elif m.startswith("neural"):
+            if mlp_json is not None:
+                mlp, acts, _ = load_model_json(mlp_json)
+                root, frag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
+            else:
+                root = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=16)
+                frag = root.init_params()
+            ckt = make_diode_clipper(root, fs, r_source=r, cap=cap)
+            params = {**ckt.init_params(), **frag}
+        else:
+            raise ValueError(m)
+        circuits[m] = (ckt, params)
+    return StreamingProcessor(circuits, fs)

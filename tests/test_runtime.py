@@ -1,0 +1,114 @@
+"""Streaming runtime (plugin-shell parity) + HPF clipper topology."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import diffwdf_tpu as dwdf
+from diffwdf_tpu.models.diode_clipper import (
+    make_diode_clipper,
+    make_hpf_diode_clipper,
+)
+from diffwdf_tpu.runtime.stream import StreamingProcessor, make_clipper_processor
+
+FS = 48000.0
+
+
+def test_block_streaming_is_gapless():
+    """Processing in 256-sample blocks == one long run (state carries)."""
+    proc = make_clipper_processor(FS, models=("toms",))
+    n = np.arange(2048)
+    x = (1.5 * np.sin(2 * np.pi * 220.0 * n / FS)).astype(np.float32)
+
+    blocks = [proc.process_block(x[i : i + 256], "toms") for i in range(0, 2048, 256)]
+    blocked = np.concatenate(blocks)
+
+    proc2 = make_clipper_processor(FS, models=("toms",))
+    oneshot = proc2.process_block(x, "toms")
+    np.testing.assert_allclose(blocked, oneshot, atol=1e-5)
+
+
+def test_mono_sum_and_fanout():
+    proc = make_clipper_processor(FS, models=("approx",))
+    x = np.random.default_rng(0).normal(size=(2, 512)).astype(np.float32)
+    out = proc.process_block(x, "approx")
+    assert out.shape == (2, 512)
+    np.testing.assert_allclose(out[0], out[1])  # fanned-out mono
+
+
+def test_gain_changes_distortion():
+    n = np.arange(4096)
+    x = (0.1 * np.sin(2 * np.pi * 440.0 * n / FS)).astype(np.float32)
+    p1 = make_clipper_processor(FS, models=("toms",))
+    lo = p1.process_block(x, "toms", gain_db=0.0)
+    p2 = make_clipper_processor(FS, models=("toms",))
+    hi = p2.process_block(x, "toms", gain_db=18.0)
+    assert np.max(np.abs(hi)) > np.max(np.abs(lo))
+
+
+def test_dc_blocker_removes_offset():
+    proc = make_clipper_processor(FS, models=("toms",))
+    x = np.full(8192, 0.8, dtype=np.float32)  # DC input
+    out = proc.process_block(x, "toms")
+    assert abs(np.mean(out[-2048:])) < 1e-2  # settled: no DC at the output
+
+
+def test_model_dispatch_and_load_meter():
+    proc = make_clipper_processor(FS, models=("toms", "approx", "neural_2x16"))
+    x = np.random.default_rng(1).normal(size=512).astype(np.float32)
+    outs = {m: proc.process_block(x, m) for m in ("toms", "approx", "neural_2x16")}
+    assert all(np.all(np.isfinite(o)) for o in outs.values())
+    assert proc.load > 0.0
+    specs = proc.param_specs("toms")
+    assert {s.name for s in specs} == {"gain_db", "cutoff_hz", "model"}
+
+
+def test_hpf_clipper_is_highpass():
+    """HPF topology (``HPFDiodeClipper.h:26-32``): DC blocked, highs pass."""
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    ckt = make_hpf_diode_clipper(root, FS)
+    params = {**ckt.init_params(), **root.init_params()}
+    n = np.arange(9600)
+
+    def gain_at(freq):
+        x = (0.2 * np.sin(2 * np.pi * freq * n / FS)).astype(np.float32)
+        out, _ = ckt.process(params, ckt.init_state(), {"Vs": {"v": jnp.asarray(x)}})
+        y = np.asarray(out)[4800:]
+        return np.sqrt(np.mean(y**2)) / (0.2 / np.sqrt(2))
+
+    assert gain_at(8000.0) > 0.7
+    assert gain_at(100.0) < 0.3
+    assert gain_at(8000.0) > gain_at(1000.0) > gain_at(100.0)
+
+
+def test_hpf_extrapolation_probe():
+    """The generalization probe: an (LPF-circuit-trained) neural root dropped
+    into the unseen HPF topology tracks the analytic root
+    (``HPFDiodeClipper.cpp:29-30`` 'Extrapolated' mode)."""
+    import os
+
+    import pytest
+
+    json_path = (
+        "/root/reference/wdf_py/diode_clipper/models/pretrained/"
+        "1N4148 (1U-1D)_2x16_pretrained_model.json"
+    )
+    if not os.path.exists(json_path):
+        pytest.skip("reference zoo not mounted")
+    from diffwdf_tpu.roots.neural import NeuralDiodeRoot
+
+    mlp, acts, _ = dwdf.load_model_json(json_path)
+    nroot, frag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
+    ckt_n = make_hpf_diode_clipper(nroot, FS)
+    pn = {**ckt_n.init_params(), **frag}
+
+    aroot = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    ckt_a = make_hpf_diode_clipper(aroot, FS)
+    pa = {**ckt_a.init_params(), **aroot.init_params()}
+
+    n = np.arange(4096)
+    x = jnp.asarray((1.0 * np.sin(2 * np.pi * 500.0 * n / FS)).astype(np.float32))
+    yn, _ = ckt_n.process(pn, ckt_n.init_state(), {"Vs": {"v": x}})
+    ya, _ = ckt_a.process(pa, ckt_a.init_state(), {"Vs": {"v": x}})
+    yn, ya = np.asarray(yn)[100:], np.asarray(ya)[100:]
+    esr = np.sum((yn - ya) ** 2) / (np.sum(ya**2) + 1e-12)
+    assert esr < 5e-2, esr
