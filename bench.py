@@ -109,27 +109,48 @@ def main():
         "msamples_per_s": B * T / min(dt_xla_a, dt_pl_a) / 1e6,
     }
 
-    # --- CPU baseline: same neural workload on the host backend -----------
-    cpu = jax.devices("cpu")[0]
-    Bc, Tc = 256, 2048  # smaller batch, scaled (CPU throughput ~ linear in B)
-    with jax.default_device(cpu):
-        vin_c = jax.device_put(np.asarray(vins[0][:Bc, :Tc]), cpu)
+    # --- CPU baseline: native C++ per-sample engine (the reference's
+    # architecture: single-threaded sample loop, RTNeural-style MLP) ---------
+    from diffwdf_tpu.native import lib as native
 
+    if native.available():
+        mlp_host = jax.tree_util.tree_map(np.asarray, nparams["dp"])
+        x_cpu = np.asarray(vins[0][0])  # one stream, T samples
+        native.clipper_process_neural(x_cpu, 0.0, mlp_host, r_src, cap, fs)
+        t0 = time.time()
+        reps = 10
+        for _ in range(reps):
+            native.clipper_process_neural(x_cpu, 0.0, mlp_host, r_src, cap, fs)
+        dt_cpu = (time.time() - t0) / reps
+        cpu_msps = T / dt_cpu / 1e6
+        details["cpu_baseline_neural"] = {
+            "engine": "native C++ single-core (reference architecture)",
+            "ms": dt_cpu * 1e3,
+            "msamples_per_s": cpu_msps,
+        }
+    else:  # fall back to the JAX CPU backend
+        cpu = jax.devices("cpu")[0]
+        Bc, Tc = 64, 2048
+        vin_c = jax.device_put(np.asarray(vins[0][:Bc, :Tc]), cpu)
         cpu_fn = jax.jit(
             lambda v: jax.vmap(
                 lambda vv: ckt_n.process(pn, st, {"Vs": {"v": vv}})[0]
             )(v),
             device=cpu,
         )
-        out = cpu_fn(vin_c).block_until_ready()
+        cpu_fn(vin_c).block_until_ready()
         t0 = time.time()
         reps = 3
         for _ in range(reps):
             out = cpu_fn(vin_c)
         out.block_until_ready()
         dt_cpu = (time.time() - t0) / reps
-    cpu_msps = Bc * Tc / dt_cpu / 1e6
-    details["cpu_baseline_neural"] = {"ms": dt_cpu * 1e3, "msamples_per_s": cpu_msps}
+        cpu_msps = Bc * Tc / dt_cpu / 1e6
+        details["cpu_baseline_neural"] = {
+            "engine": "jax-cpu",
+            "ms": dt_cpu * 1e3,
+            "msamples_per_s": cpu_msps,
+        }
 
     vs_baseline = neural_msps / cpu_msps
 

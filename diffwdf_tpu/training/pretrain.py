@@ -38,6 +38,8 @@ class PretrainConfig:
     a_span: float = 2.5
     seed: int = 0
     log_every: int = 0  # epochs between host-side metric reports (0 = end only)
+    schedule: str = "const"  # "const" (reference parity) | "cosine" (warmup+decay)
+    adam_eps: float = 1e-7  # keras default (reference trains with keras Adam)
 
 
 def pretrain_diode(
@@ -59,11 +61,18 @@ def pretrain_diode(
     key, init_key = jax.random.split(key)
     params = mlp_init(init_key, sizes)
 
-    opt = optax.adam(cfg.learning_rate)
-    opt_state = opt.init(params)
-
     n = x.shape[0]
     n_batches = n // cfg.batch_size
+    if cfg.schedule == "cosine":
+        total_steps = cfg.epochs * n_batches
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, int(0.02 * total_steps), total_steps,
+            end_value=cfg.learning_rate * 1e-2,
+        )
+    else:
+        lr = cfg.learning_rate
+    opt = optax.adam(lr, eps=cfg.adam_eps)
+    opt_state = opt.init(params)
 
     def loss_fn(p, xb, yb):
         pred = mlp_apply(p, acts, xb)
