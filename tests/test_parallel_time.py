@@ -1,0 +1,78 @@
+"""Newton-over-trajectory (DEER) solver vs the sequential scan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import diffwdf_tpu as dwdf
+from diffwdf_tpu.models.diode_clipper import make_diode_clipper
+from diffwdf_tpu.models.tube_screamer import make_tube_screamer
+from diffwdf_tpu.ops.parallel_time import parallel_time_process
+
+FS = 48000.0
+
+
+def test_matches_scan_on_clipper():
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    ckt = make_diode_clipper(root, FS)
+    params = {**ckt.init_params(), **root.init_params()}
+    n = np.arange(1024)
+    vin = jnp.asarray((2.0 * np.sin(2 * np.pi * 330 * n / FS)).astype(np.float32))
+    inputs = {"Vs": {"v": vin}}
+
+    want, _ = ckt.process(params, ckt.init_state(), inputs)
+    got, resid = parallel_time_process(
+        ckt, params, inputs, n_iters=16, return_residual=True
+    )
+    assert float(resid) < 1e-5, float(resid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_matches_scan_on_linear_circuit_one_iter():
+    """For a linear circuit one Newton sweep is exact."""
+    R1 = dwdf.Resistor("R1", 1000.0)
+    C1 = dwdf.Capacitor("C1", 1.0e-6)
+    S1 = dwdf.Series("S1", R1, C1)
+    I1 = dwdf.Inverter("I1", S1)
+    ckt = dwdf.Circuit(
+        tree=I1, root=dwdf.IdealVoltageSourceRoot("Vs"), fs=FS, outputs=("C1",)
+    )
+    params = ckt.init_params()
+    vin = jnp.asarray(
+        np.random.default_rng(0).normal(size=512).astype(np.float32)
+    )
+    inputs = {"Vs": {"v": vin}}
+    want, _ = ckt.process(params, ckt.init_state(), inputs)
+    got = parallel_time_process(ckt, params, inputs, n_iters=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_matches_scan_on_tube_screamer_multistate():
+    """Multi-capacitor state (S=3): full Jacobian composition path."""
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    ckt = make_tube_screamer(root, FS, drive=0.8)
+    params = {**ckt.init_params(), **root.init_params()}
+    n = np.arange(512)
+    vin = jnp.asarray((0.2 * np.sin(2 * np.pi * 220 * n / FS)).astype(np.float32))
+    inputs = {"Vin": {"v": vin}}
+    want, _ = ckt.process(params, ckt.init_state(), inputs)
+    got, resid = parallel_time_process(
+        ckt, params, inputs, n_iters=20, return_residual=True
+    )
+    assert float(resid) < 1e-4, float(resid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+
+def test_neural_root_supported():
+    from diffwdf_tpu.roots.neural import NeuralDiodeRoot
+
+    root = NeuralDiodeRoot(name="dp", n_layers=1, layer_size=8)
+    ckt = make_diode_clipper(root, FS)
+    params = {**ckt.init_params(), **root.init_params(jax.random.PRNGKey(0))}
+    vin = jnp.asarray(
+        (1.5 * np.random.default_rng(1).standard_normal(256)).astype(np.float32)
+    )
+    inputs = {"Vs": {"v": vin}}
+    want, _ = ckt.process(params, ckt.init_state(), inputs)
+    got = parallel_time_process(ckt, params, inputs, n_iters=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
