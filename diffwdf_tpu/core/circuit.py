@@ -146,6 +146,7 @@ class Circuit:
         state,
         inputs: Dict[str, Dict[str, Any]],
         *,
+        static_controls: Optional[Dict[str, Dict[str, Any]]] = None,
         adapt_per_sample: Optional[bool] = None,
         checkpoint: bool = False,
         unroll: int = 1,
@@ -156,24 +157,41 @@ class Circuit:
         final_state).  If any driven field affects impedance (pot sweep), the
         adaptation pass runs inside the scan (reference behavior
         ``clipper_pot.py:117``); otherwise it is hoisted out.
+
+        static_controls: {node: {field: scalar}} per-call (block-rate)
+        controls — e.g. a cutoff-derived source resistance or a drive pot
+        held for the block (the reference's ``setParameters`` path,
+        ``DiodeClipperWDF.cpp:10-16``).  They may be traced values; impedance
+        adaptation with them still runs once, outside the scan.
         """
         if adapt_per_sample is None:
             adapt_per_sample = self.needs_per_sample_adapt(inputs)
+        static_controls = static_controls or {}
+
+        def merge(controls_t):
+            if not static_controls:
+                return controls_t
+            out = {k: dict(v) for k, v in static_controls.items()}
+            for node, fields in controls_t.items():
+                out.setdefault(node, {})
+                out[node].update(fields)
+            return out
 
         if not adapt_per_sample:
-            coeffs = self.adapt(params, {})
+            coeffs = self.adapt(params, static_controls)
 
             def body(carry, controls_t):
                 st = carry
-                st, waves = self.step(params, coeffs, st, controls_t)
+                st, waves = self.step(params, coeffs, st, merge(controls_t))
                 return st, self.probe(waves)
 
         else:
 
             def body(carry, controls_t):
                 st = carry
-                coeffs_t = self.adapt(params, controls_t)
-                st, waves = self.step(params, coeffs_t, st, controls_t)
+                ct = merge(controls_t)
+                coeffs_t = self.adapt(params, ct)
+                st, waves = self.step(params, coeffs_t, st, ct)
                 return st, self.probe(waves)
 
         if checkpoint:

@@ -63,9 +63,13 @@ class StreamingProcessor:
     hot-swap, ``DiodeClipperWDF.cpp:36-41``).
     """
 
-    def __init__(self, circuits: Dict[str, Tuple[Circuit, Any]], fs: float):
+    def __init__(self, circuits: Dict[str, Tuple[Circuit, Any]], fs: float,
+                 param_maps: Optional[Dict[str, Callable]] = None):
         self.circuits = dict(circuits)
         self.fs = fs
+        #: per-circuit mapping of block-rate params (cutoff_hz, drive, ...)
+        #: to static controls {node: {field: value}} (setParameters parity)
+        self.param_maps = param_maps or {}
         self._fns: Dict[Tuple[str, int], Callable] = {}
         self._state: Dict[str, Any] = {
             name: ckt.init_state() for name, (ckt, _) in circuits.items()
@@ -92,11 +96,16 @@ class StreamingProcessor:
             ckt, params = self.circuits[name]
             rho = _dc_blocker_coeff(self.fs)
 
+            node = "Vin" if "Vin" in ckt.init_params() else "Vs"  # drive node
+
             @jax.jit
-            def fn(params, state, dc_state, vin, gain0, gain1):
+            def fn(params, state, dc_state, vin, gain0, gain1, static_controls):
                 t = (jnp.arange(block_len) + 1.0) / block_len
                 g = gain0 + (gain1 - gain0) * t  # per-sample gain ramp
-                out, state = ckt.process(params, state, {"Vs": {"v": vin * g}})
+                out, state = ckt.process(
+                    params, state, {node: {"v": vin * g}},
+                    static_controls=static_controls,
+                )
 
                 def dc_step(carry, x):
                     x1, y1 = carry
@@ -114,6 +123,7 @@ class StreamingProcessor:
         audio: np.ndarray,
         circuit: str,
         gain_db: float = 0.0,
+        **block_params,
     ) -> np.ndarray:
         """Process one audio block.
 
@@ -128,6 +138,12 @@ class StreamingProcessor:
         gain1 = float(10.0 ** (gain_db / 20.0))
         fn = self._block_fn(circuit, T)
         _, params = self.circuits[circuit]
+        static_controls = {}
+        if block_params:
+            mapper = self.param_maps.get(circuit)
+            if mapper is None:
+                raise ValueError(f"no param map for circuit {circuit!r}")
+            static_controls = mapper(**block_params)
         t0 = time.perf_counter()
         out, state, dc_state = fn(
             params,
@@ -136,6 +152,7 @@ class StreamingProcessor:
             jnp.asarray(mono),
             self._gain,
             gain1,
+            static_controls,
         )
         out = np.asarray(out)
         dt = time.perf_counter() - t0
@@ -199,4 +216,10 @@ def make_clipper_processor(
         else:
             raise ValueError(m)
         circuits[m] = (ckt, params)
-    return StreamingProcessor(circuits, fs)
+
+    def clipper_map(cutoff_hz):
+        return {"Vs": {"R": cutoff_to_resistance(cutoff_hz, cap)}}
+
+    return StreamingProcessor(
+        circuits, fs, param_maps={m: clipper_map for m in circuits}
+    )

@@ -112,3 +112,15 @@ def test_hpf_extrapolation_probe():
     yn, ya = np.asarray(yn)[100:], np.asarray(ya)[100:]
     esr = np.sum((yn - ya) ** 2) / (np.sum(ya**2) + 1e-12)
     assert esr < 5e-2, esr
+
+
+def test_block_rate_cutoff_param():
+    """setParameters parity: cutoff changes the source R per block."""
+    proc = make_clipper_processor(FS, models=("toms",))
+    n = np.arange(4096)
+    x = (0.05 * np.sin(2 * np.pi * 5000.0 * n / FS)).astype(np.float32)
+    lo = proc.process_block(x, "toms", cutoff_hz=500.0)
+    proc.reset()
+    hi = proc.process_block(x, "toms", cutoff_hz=18000.0)
+    # a 5 kHz tone passes the 18 kHz cutoff but is attenuated at 500 Hz
+    assert np.sqrt(np.mean(hi[2000:] ** 2)) > 3 * np.sqrt(np.mean(lo[2000:] ** 2))
