@@ -146,3 +146,40 @@ def test_parallel_adaptor_current_divider():
     out, _ = ckt.process(params, state, {"Vs": {"v": jnp.asarray(vin)}})
     want = vin * r2 / (rs + r2)  # open-circuit root => plain divider into R2
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_rl_highpass_impulse_response():
+    """WDF inductor == bilinear discretization of the RL highpass
+    H(s) = sL/(R + sL), probed across L in Vs -> series(R, L)."""
+    r, l = 1000.0, 0.1
+    R1 = dwdf.Resistor("R1", r)
+    L1 = dwdf.Inductor("L1", l)
+    S1 = dwdf.Series("S1", R1, L1)
+    I1 = dwdf.Inverter("I1", S1)
+    ckt = dwdf.Circuit(
+        tree=I1, root=dwdf.IdealVoltageSourceRoot("Vs"), fs=FS, outputs=("L1",)
+    )
+    params, state = ckt.init_params(), ckt.init_state()
+    N = 512
+    x = np.zeros(N, dtype=np.float32)
+    x[0] = 1.0
+    out, _ = ckt.process(params, state, {"Vs": {"v": jnp.asarray(x)}})
+    b, a = sig.bilinear([l, 0.0], [l, r], fs=FS)
+    want = sig.lfilter(b, a, x)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_resistive_current_source():
+    """Norton source: I into R_src || R_load -> v = I * (R_src || R_load)."""
+    i_src, r_src, r_load = 1e-3, 10e3, 5e3
+    Is = dwdf.ResistiveCurrentSource("Is", R=r_src)
+    RL = dwdf.Resistor("RL", r_load)
+    P1 = dwdf.Parallel("P1", Is, RL)
+    ckt = dwdf.Circuit(
+        tree=P1, root=dwdf.OpenCircuitRoot("open"), fs=FS, outputs=("RL",)
+    )
+    params, state = ckt.init_params(), ckt.init_state()
+    drive = {"Is": {"i": jnp.full((8,), i_src, jnp.float32)}}
+    out, _ = ckt.process(params, state, drive)
+    want = i_src * (r_src * r_load) / (r_src + r_load)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5)
