@@ -116,6 +116,8 @@ def load_diode_data(
     hpf: bool = False,
     trim_pre_s: Optional[float] = TRIM_PRE_S,
     keep_s: Optional[float] = KEEP_S,
+    start_offset: int = 0,
+    csv_samples: int = -1,
 ):
     """Load and split all measurements for a diode config.
 
@@ -131,9 +133,13 @@ def load_diode_data(
         fs = m.fs
         rk = m.r_ohms / 1000.0
         split = train if (rk < VAL_R_LO_KOHM or rk > VAL_R_HI_KOHM) else val
-        split["x"].append(m.vin)
-        split["r"].append(np.full_like(m.vin, m.r_ohms))
-        split["y"].append(m.vout)
+        # per-file windowing parity (``dataimport.py:82,104-107``)
+        end = None if csv_samples < 0 else start_offset + csv_samples
+        vin = m.vin[start_offset:end]
+        vout = m.vout[start_offset:end]
+        split["x"].append(vin)
+        split["r"].append(np.full_like(vin, m.r_ohms))
+        split["y"].append(vout)
 
     def cat(d_):
         return {
