@@ -159,3 +159,36 @@ def test_ensemble_over_model_zoo(devices8):
     assert outs.shape == (4, T)
     # different weights -> different outputs
     assert float(jnp.max(jnp.abs(outs[0] - outs[1]))) > 1e-6
+
+
+def test_scaling_harness(devices8):
+    """Weak-scaling measurement machinery on the virtual mesh (numbers are
+    not meaningful on CPU; the harness behavior is what's under test)."""
+    import jax.numpy as jnp
+
+    from diffwdf_tpu.parallel.distributed import measure_scaling
+    from diffwdf_tpu.parallel.mesh import shard_batches
+
+    ckt, params = _clipper()
+
+    def make_step(mesh):
+        n = mesh.devices.size
+        vin = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2 * n, 64)).astype(np.float32)
+        )
+        batch = shard_batches({"x": vin}, mesh)
+
+        @jax.jit
+        def step(b):
+            def one(v):
+                out, _ = ckt.process(params, ckt.init_state(), {"Vs": {"v": v}})
+                return out
+
+            return jax.vmap(one)(b["x"])
+
+        return lambda: step(batch)
+
+    res = measure_scaling(make_step, (1, 4, 8), iters=3, items_per_call=128)
+    assert set(res) == {1, 4, 8}
+    for n, rec in res.items():
+        assert rec["mean_s"] > 0 and np.isfinite(rec["efficiency"])
