@@ -94,7 +94,9 @@ def cmd_train_clipper(args):
         sub = os.path.join(
             data_dir, "1N4148", f"{diode.N_up}up{diode.N_down}down"
         )
-        if not os.path.isdir(sub):
+        import glob
+
+        if not glob.glob(os.path.join(sub, "*.csv")):
             print(f"synthesizing dataset under {data_dir} ...")
             make_synthetic_dataset_dir(
                 data_dir, diode, fs=args.fs, duration_s=18.0
@@ -104,6 +106,8 @@ def cmd_train_clipper(args):
         base = args.data_dir
     train, val, fs = load_diode_data(diode, base)
     print(f"train {len(train['x'])} samples, val {len(val['x'])}, fs {fs}")
+    if len(train["x"]) == 0:
+        raise SystemExit(f"no training data found under {base}")
 
     if args.pretrained:
         mlp, acts, _ = load_model_json(args.pretrained)

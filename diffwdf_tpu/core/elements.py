@@ -296,26 +296,3 @@ class ResistiveCurrentSource(WDFNode):
     def incident(self, coeffs, state, controls, waves, x):
         self._record_a(waves, x)
         return {}
-
-
-@dataclasses.dataclass(eq=False)
-class ShortCircuit(WDFNode):
-    """Short circuit: b = -a (reflection coefficient -1 at tiny impedance)."""
-
-    name: str
-    children = ()
-
-    def adapt(self, params, controls, coeffs, fs):
-        R = jnp.asarray(1.0e-9, dtype=jnp.float32)
-        coeffs[self.name] = {"R": R}
-        return R
-
-    def reflected(self, coeffs, state, controls, waves):
-        # Leaf shorts reflect the *previous* incident wave in a strictly
-        # feed-forward tree; with no memory we reflect 0 on the way up and the
-        # adaptor algebra (R -> 0) handles the constraint.
-        return self._record_b(waves, jnp.zeros(()))
-
-    def incident(self, coeffs, state, controls, waves, x):
-        self._record_a(waves, x)
-        return {}

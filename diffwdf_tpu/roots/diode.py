@@ -55,6 +55,12 @@ diode_1n4148_2u2d = DiodeConfig("1N4148 (2U-2D)", N_up=2, N_down=2, **_1N4148)
 diode_1n4148_2u3d = DiodeConfig("1N4148 (2U-3D)", N_up=2, N_down=3, **_1N4148)
 diode_1n4148_3u3d = DiodeConfig("1N4148 (3U-3D)", N_up=3, N_down=3, **_1N4148)
 
+# OA1154 germanium diode (the reference's second measurement family,
+# ``diode_dataset/OA1154``).  The reference defines no DiodeConfig for it
+# (its physics enter only through measured data); these are nominal germanium
+# point-contact parameters for synthetic-data generation.
+diode_oa1154_1u1d = DiodeConfig("OA1154 (1U-1D)", Is=2.0e-6, nabla=1.3)
+
 ALL_1N4148 = {
     d.name: d
     for d in (
