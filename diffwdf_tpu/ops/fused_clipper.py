@@ -355,3 +355,114 @@ def fused_clipper_neural(
         interpret=interpret,
     )(consts, x, z, k1, c1, k2, c2, k2b, c2b, w3)
     return _unpack(out, B, T), _unpack_state(zf)
+
+
+# ---------------------------------------------------------------------------
+# Distilled (piecewise-Chebyshev) root kernel - transcendental-free hot loop
+# ---------------------------------------------------------------------------
+
+
+def _cheb_eval(a, a_max, breaks, coeffs):
+    """Piecewise-odd Chebyshev root eval (static coeffs, unrolled FMAs)."""
+    s = jnp.clip(jnp.abs(a), 0.0, a_max)
+    edges = (0.0,) + tuple(breaks) + (a_max,)
+    h = None
+    for j, c in enumerate(coeffs):
+        lo, hi = edges[j], edges[j + 1]
+        t = jnp.clip((2.0 * s - (hi + lo)) / (hi - lo), -1.0, 1.0)
+        t2 = 2.0 * t
+        b1 = jnp.zeros_like(t)
+        b2 = jnp.zeros_like(t)
+        for ck in c[:0:-1]:
+            b1, b2 = t2 * b1 - b2 + ck, b1
+        hj = t * b1 - b2 + c[0]
+        h = hj if h is None else jnp.where(s < lo, h, hj)
+    return a - jnp.sign(a) * h
+
+
+def _cheb_kernel(in_ref, z0_ref, out_ref, zf_ref, z_scr, *, tc, p1R, a_max,
+                 breaks, coeffs):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        z_scr[:] = z0_ref[0]
+
+    def body(t_idx, _):
+        v = in_ref[0, pl.ds(t_idx * _SUB, _SUB), :]
+        z = z_scr[:]
+        b_temp = -p1R * (z - v)
+        a = z + b_temp
+        b_root = _cheb_eval(a, a_max, breaks, coeffs)
+        z_new = b_root + b_temp
+        out_ref[0, pl.ds(t_idx * _SUB, _SUB), :] = 0.5 * (z_new + z)
+        z_scr[:] = z_new
+        return 0
+
+    jax.lax.fori_loop(0, tc, body, 0)
+    zf_ref[0] = z_scr[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("root", "r_source", "cap", "fs", "time_chunk", "interpret"),
+)
+def fused_clipper_cheb(
+    vin,
+    z0,
+    root,
+    r_source: float,
+    cap: float,
+    *,
+    fs: float,
+    time_chunk: int = 256,
+    interpret: bool = False,
+):
+    """Fused clipper with a distilled PiecewiseChebRoot (roots.distilled).
+
+    ~sum(degrees) FMAs per sample, no transcendentals: the speed-of-light
+    serving path.  vin: (B, T), B multiple of 1024; ``root`` is static (its
+    baked coefficients become immediates in the kernel).
+    """
+    B, T = vin.shape
+    assert B % BT == 0 and T % time_chunk == 0, (B, T)
+    nb, nt = B // BT, T // time_chunk
+
+    r_c = 1.0 / (2.0 * cap * fs)
+    g = 1.0 / r_source + 1.0 / r_c
+    p1R = float((1.0 / r_source) / g)
+
+    x = _pack(vin)
+    z = _pack_state(z0)
+
+    kernel = functools.partial(
+        _cheb_kernel,
+        tc=time_chunk,
+        p1R=p1R,
+        a_max=float(root.a_max),
+        breaks=tuple(root.breaks),
+        coeffs=tuple(tuple(float(v) for v in c) for c in root.coeffs),
+    )
+    out, zf = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((1, time_chunk * _SUB, _LANE), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, time_chunk * _SUB, _LANE), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, _LANE), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            jax.ShapeDtypeStruct(z.shape, jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((_SUB, _LANE), jnp.float32)],
+        interpret=interpret,
+    )(x, z)
+    return _unpack(out, B, T), _unpack_state(zf)
