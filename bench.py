@@ -109,6 +109,22 @@ def main():
         "msamples_per_s": B * T / min(dt_xla_a, dt_pl_a) / 1e6,
     }
 
+    # --- distilled (piecewise-Chebyshev) serving path ----------------------
+    from diffwdf_tpu.ops.fused_clipper import fused_clipper_cheb
+    from diffwdf_tpu.roots.distilled import distill_root
+
+    r_cp = 1.0 / (2.0 * cap * fs)
+    r_port = 1.0 / (1.0 / r_src + 1.0 / r_cp)
+    droot, cheb_err = distill_root(aroot, pa, r_port)
+    dt_cheb = _timeit(
+        lambda v: fused_clipper_cheb(v, z0, droot, r_src, cap, fs=fs), vins
+    )
+    details["distilled_cheb"] = {
+        "pallas_ms": dt_cheb * 1e3,
+        "msamples_per_s": B * T / dt_cheb / 1e6,
+        "fit_max_abs_err": cheb_err,
+    }
+
     # --- CPU baseline: native C++ per-sample engine (the reference's
     # architecture: single-threaded sample loop, RTNeural-style MLP) ---------
     from diffwdf_tpu.native import lib as native

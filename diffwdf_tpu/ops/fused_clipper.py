@@ -38,33 +38,43 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BT = 1024  # batch tile (8 sublanes x 128 lanes)
+BT = 1024  # default batch tile (8 sublanes x 128 lanes)
 _SUB, _LANE = 8, 128
 
 
-def _pack(x):  # (B, T) -> (nb, T*8, 128)
+def _pack(x, lanes=_LANE):  # (B, T) -> (nb, T*8, lanes)
     B, T = x.shape
-    nb = B // BT
-    # (B, T) -> (nb, 8, 128, T): batch index b = i*1024 + s*128 + l
-    x = x.reshape(nb, _SUB, _LANE, T)
-    x = jnp.transpose(x, (0, 3, 1, 2))  # (nb, T, 8, 128)
-    return x.reshape(nb, T * _SUB, _LANE)
+    bt = _SUB * lanes
+    nb = B // bt
+    # batch index b = i*bt + s*lanes + l
+    x = x.reshape(nb, _SUB, lanes, T)
+    x = jnp.transpose(x, (0, 3, 1, 2))  # (nb, T, 8, lanes)
+    return x.reshape(nb, T * _SUB, lanes)
 
 
-def _unpack(y, B, T):  # inverse of _pack
-    nb = B // BT
-    y = y.reshape(nb, T, _SUB, _LANE)
+def _unpack(y, B, T, lanes=_LANE):  # inverse of _pack
+    nb = B // (_SUB * lanes)
+    y = y.reshape(nb, T, _SUB, lanes)
     y = jnp.transpose(y, (0, 2, 3, 1))
     return y.reshape(B, T)
 
 
-def _pack_state(z):  # (B,) -> (nb, 8, 128)
-    nb = z.shape[0] // BT
-    return z.reshape(nb, _SUB, _LANE)
+def _pack_state(z, lanes=_LANE):  # (B,) -> (nb, 8, lanes)
+    nb = z.shape[0] // (_SUB * lanes)
+    return z.reshape(nb, _SUB, lanes)
 
 
-def _unpack_state(z):  # (nb, 8, 128) -> (B,)
+def _unpack_state(z):  # (nb, 8, lanes) -> (B,)
     return z.reshape(-1)
+
+
+def auto_lanes(B, T, time_chunk):
+    """Widest lane tile that divides B (amortizes per-step loop overhead;
+    measured ~1.6x at 1024 lanes vs 128 for the clipper kernels)."""
+    for lanes in (1024, 512, 256, 128):
+        if B % (_SUB * lanes) == 0:
+            return lanes
+    raise ValueError(f"B={B} must be a multiple of {_SUB * 128}")
 
 
 def _omega_inline(x, iters: int):
@@ -132,7 +142,7 @@ def _analytic_kernel(const_ref, in_ref, z0_ref, out_ref, zf_ref, z_scr, *, tc, i
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fs", "quality_iters", "time_chunk", "interpret"),
+    static_argnames=("fs", "quality_iters", "time_chunk", "lanes", "interpret"),
 )
 def fused_clipper_analytic(
     vin,
@@ -146,7 +156,8 @@ def fused_clipper_analytic(
     *,
     fs: float,
     quality_iters: int = 3,
-    time_chunk: int = 256,
+    time_chunk: int = 128,
+    lanes: int = 0,
     interpret: bool = False,
 ):
     """Fused LPF diode clipper with the analytic diode-pair root.
@@ -157,8 +168,10 @@ def fused_clipper_analytic(
     training path keeps to the XLA scan, where re-adaptation is cheap).
     """
     B, T = vin.shape
-    assert B % BT == 0 and T % time_chunk == 0, (B, T)
-    nb, nt = B // BT, T // time_chunk
+    lanes = lanes or auto_lanes(B, T, time_chunk)
+    bt = _SUB * lanes
+    assert B % bt == 0 and T % time_chunk == 0, (B, T, lanes)
+    nb, nt = B // bt, T // time_chunk
 
     r_c = 1.0 / (2.0 * cap * fs)
     g = 1.0 / r_source + 1.0 / r_c
@@ -177,8 +190,8 @@ def fused_clipper_analytic(
         ]
     ).astype(jnp.float32)[None, :]
 
-    x = _pack(vin)
-    z = _pack_state(z0)
+    x = _pack(vin, lanes)
+    z = _pack_state(z0, lanes)
 
     kernel = functools.partial(_analytic_kernel, tc=time_chunk, iters=quality_iters)
     out, zf = pl.pallas_call(
@@ -187,30 +200,30 @@ def fused_clipper_analytic(
         in_specs=[
             pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, time_chunk * _SUB, _LANE),
+                (1, time_chunk * _SUB, lanes),
                 lambda i, j: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, _SUB, _LANE), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, _SUB, lanes), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, time_chunk * _SUB, _LANE),
+                (1, time_chunk * _SUB, lanes),
                 lambda i, j: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, _SUB, _LANE), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, _SUB, lanes), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, jnp.float32),
             jax.ShapeDtypeStruct(z.shape, jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((_SUB, _LANE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((_SUB, lanes), jnp.float32)],
         interpret=interpret,
     )(consts, x, z)
-    return _unpack(out, B, T), _unpack_state(zf)
+    return _unpack(out, B, T, lanes), _unpack_state(zf)
 
 
 # ---------------------------------------------------------------------------
@@ -405,7 +418,9 @@ def _cheb_kernel(in_ref, z0_ref, out_ref, zf_ref, z_scr, *, tc, p1R, a_max,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("root", "r_source", "cap", "fs", "time_chunk", "interpret"),
+    static_argnames=(
+        "root", "r_source", "cap", "fs", "time_chunk", "lanes", "interpret"
+    ),
 )
 def fused_clipper_cheb(
     vin,
@@ -415,7 +430,8 @@ def fused_clipper_cheb(
     cap: float,
     *,
     fs: float,
-    time_chunk: int = 256,
+    time_chunk: int = 128,
+    lanes: int = 0,
     interpret: bool = False,
 ):
     """Fused clipper with a distilled PiecewiseChebRoot (roots.distilled).
@@ -425,15 +441,17 @@ def fused_clipper_cheb(
     baked coefficients become immediates in the kernel).
     """
     B, T = vin.shape
-    assert B % BT == 0 and T % time_chunk == 0, (B, T)
-    nb, nt = B // BT, T // time_chunk
+    lanes = lanes or auto_lanes(B, T, time_chunk)
+    bt = _SUB * lanes
+    assert B % bt == 0 and T % time_chunk == 0, (B, T, lanes)
+    nb, nt = B // bt, T // time_chunk
 
     r_c = 1.0 / (2.0 * cap * fs)
     g = 1.0 / r_source + 1.0 / r_c
     p1R = float((1.0 / r_source) / g)
 
-    x = _pack(vin)
-    z = _pack_state(z0)
+    x = _pack(vin, lanes)
+    z = _pack_state(z0, lanes)
 
     kernel = functools.partial(
         _cheb_kernel,
@@ -447,22 +465,22 @@ def fused_clipper_cheb(
         kernel,
         grid=(nb, nt),
         in_specs=[
-            pl.BlockSpec((1, time_chunk * _SUB, _LANE), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, time_chunk * _SUB, lanes), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUB, _LANE), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, _SUB, lanes), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, time_chunk * _SUB, _LANE), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, time_chunk * _SUB, lanes), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUB, _LANE), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, _SUB, lanes), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, jnp.float32),
             jax.ShapeDtypeStruct(z.shape, jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((_SUB, _LANE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((_SUB, lanes), jnp.float32)],
         interpret=interpret,
     )(x, z)
-    return _unpack(out, B, T), _unpack_state(zf)
+    return _unpack(out, B, T, lanes), _unpack_state(zf)
