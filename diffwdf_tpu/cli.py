@@ -42,7 +42,6 @@ def cmd_pretrain(args):
 
     from .analysis import plot_history, plot_transconductance
     from .nn.serialization import save_model_json
-    from .roots.neural import mlp_arch
     from .training.pretrain import PretrainConfig, evaluate_pretrained, pretrain_diode
 
     diode = _diode(args.diode)
@@ -80,7 +79,7 @@ def cmd_train_clipper(args):
     from .models.diode_clipper import make_training_clipper
     from .nn.serialization import load_model_json, save_model_json
     from .roots.neural import NeuralDiodeRoot
-    from .training.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+    from .training.checkpoint import save_checkpoint
     from .training.circuit_train import (
         CircuitTrainConfig,
         make_clipper_batches,

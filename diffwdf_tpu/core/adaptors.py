@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax.numpy as jnp
-
 from .elements import WDFNode
 
 

@@ -18,12 +18,12 @@ scan body.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .elements import WDFNode, voltage, current
+from .elements import WDFNode, voltage
 
 
 class Root:

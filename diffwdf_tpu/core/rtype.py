@@ -33,7 +33,7 @@ float64 on the host so the scan sees pure constants.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,7 @@ each variant once.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 from ..core.adaptors import Parallel, Series
 from ..core.circuit import Circuit, Root

@@ -23,9 +23,6 @@ ports: A = (4,2) across the feedback path, B = (1,0), C = (2,0), D = (4,0).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
-
 from ..core.adaptors import Parallel, Series
 from ..core.circuit import Circuit, Root
 from ..core.elements import Capacitor, Resistor, ResistiveVoltageSource

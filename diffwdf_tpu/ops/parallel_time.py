@@ -29,8 +29,7 @@ iterations if needed, and the omega root's implicit-jvp keeps them cheap.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.circuit import Circuit

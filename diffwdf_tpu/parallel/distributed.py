@@ -17,7 +17,6 @@ import time
 from typing import Callable, Dict, Optional, Sequence
 
 import jax
-import numpy as np
 
 
 def initialize(

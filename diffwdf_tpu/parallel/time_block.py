@@ -23,13 +23,12 @@ Both are built on ``shard_map`` over a ``Mesh`` and work with any `Circuit`.
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.circuit import Circuit
 

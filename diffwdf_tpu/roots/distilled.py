@@ -27,7 +27,7 @@ reference: deployment-time compilation of a trained/analytic model.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

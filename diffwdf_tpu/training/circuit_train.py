@@ -21,7 +21,7 @@ separate Adam instances, ``lpf.py:79-99``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

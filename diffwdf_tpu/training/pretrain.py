@@ -14,7 +14,7 @@ a vectorized omega evaluation instead of a 20 000-iteration Python scipy loop.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
