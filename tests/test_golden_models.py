@@ -105,3 +105,16 @@ def test_neural_clipper_close_to_analytic_clipper():
     ya, yn = np.asarray(ya)[50:], np.asarray(yn)[50:]
     esr = np.sum((ya - yn) ** 2) / (np.sum(ya**2) + 1e-12)
     assert esr < 5e-3, esr
+
+
+def test_make_root_from_zoo_all_entries():
+    from diffwdf_tpu.models.diode_clipper import ZOO, make_root_from_zoo
+
+    for idx in range(len(ZOO)):
+        root, frag = make_root_from_zoo(idx)
+        assert root.name == "dp"
+        if ZOO[idx][0] == "neural":
+            n_layers, width = ZOO[idx][1]
+            ks = frag["dp"]["layers"][0]["kernel"].shape
+            assert ks == (2, width)
+            assert len(frag["dp"]["layers"]) == n_layers + 2

@@ -194,3 +194,38 @@ def test_drive_pot_changes_gain():
         out, _ = ckt.process(params, ckt.init_state(), {"Vin": {"v": jnp.asarray(vin)}})
         peaks.append(float(np.max(np.abs(np.asarray(out)[500:]))))
     assert peaks[1] > peaks[0] * 2.0, peaks  # more drive -> more gain
+
+
+def test_tube_screamer_neural_root_from_zoo():
+    """The reference's TS uses the 1U1D 2x16 model as its neural root option
+    (``TubeScreamer.h:74``); same drop-in here from the zoo JSON."""
+    import os
+
+    import pytest
+
+    json_path = (
+        "/root/reference/wdf_py/diode_clipper/models/"
+        "1N4148 (1U-1D)_2x16_training_2000.json"
+    )
+    if not os.path.exists(json_path):
+        pytest.skip("reference zoo not mounted")
+    from diffwdf_tpu.roots.neural import NeuralDiodeRoot
+
+    fs = 48000.0
+    mlp, acts, _ = dwdf.load_model_json(json_path)
+    nroot, frag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
+    ckt_n = make_tube_screamer(nroot, fs, drive=0.6)
+    pn = {**ckt_n.init_params(), **frag}
+
+    aroot = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    ckt_a = make_tube_screamer(aroot, fs, drive=0.6)
+    pa = {**ckt_a.init_params(), **aroot.init_params()}
+
+    n = np.arange(2048)
+    vin = jnp.asarray((0.2 * np.sin(2 * np.pi * 330.0 * n / fs)).astype(np.float32))
+    yn, _ = ckt_n.process(pn, ckt_n.init_state(), {"Vin": {"v": vin}})
+    ya, _ = ckt_a.process(pa, ckt_a.init_state(), {"Vin": {"v": vin}})
+    yn, ya = np.asarray(yn)[200:], np.asarray(ya)[200:]
+    assert np.all(np.isfinite(yn))
+    esr = np.sum((yn - ya) ** 2) / (np.sum(ya**2) + 1e-12)
+    assert esr < 0.1, esr  # circuit-trained net vs ideal diode: close
