@@ -105,6 +105,88 @@ def parallel_time_process(
     return outs
 
 
+def parallel_time_process_implicit(
+    circuit: Circuit,
+    params,
+    inputs: Dict[str, Dict[str, Any]],
+    *,
+    n_iters: int = 12,
+    state0=None,
+):
+    """Like :func:`parallel_time_process`, but gradients use **implicit
+    differentiation at the converged trajectory**: one adjoint pass through
+    the linearized system instead of differentiating through the Newton
+    sweeps (the implicit-function treatment of the whole trajectory solve).
+
+    With G_t(traj, theta) = traj_t - f(traj_{t-1}, u_t, theta) = 0 at the
+    solution, the cotangent solve is the backward affine recurrence
+    lam_t = gbar_t + J_{t+1}^T lam_{t+1}, evaluated with a reversed
+    associative scan; parameter/input cotangents follow from one VJP of
+    sum_t lam_t . f(traj*_{t-1}, u_t, theta) with the trajectory held fixed.
+    """
+    if state0 is None:
+        state0 = circuit.init_state()
+    s0_vec, unravel = ravel_pytree(state0)
+    S = s0_vec.shape[0]
+    leaves = jax.tree_util.tree_leaves(inputs)
+    T = leaves[0].shape[0]
+
+    def step_vec(s_vec, controls_t, prm):
+        coeffs = circuit.adapt(prm, {})
+        st, _ = circuit.step(prm, coeffs, unravel(s_vec), controls_t)
+        out_vec, _ = ravel_pytree(st)
+        return out_vec
+
+    def out_of(s_vec, controls_t, prm):
+        coeffs = circuit.adapt(prm, {})
+        _, waves = circuit.step(prm, coeffs, unravel(s_vec), controls_t)
+        return circuit.probe(waves)
+
+    @jax.custom_vjp
+    def solve_traj(prm, inp):
+        def sweep(traj, _):
+            prev = jnp.concatenate([s0_vec[None], traj[:-1]], axis=0)
+            F = jax.vmap(lambda s, u: step_vec(s, u, prm))(prev, inp)
+            J = jax.vmap(jax.jacfwd(lambda s, u: step_vec(s, u, prm)))(prev, inp)
+            c = F - jnp.einsum("tij,tj->ti", J, prev)
+            Jc, cc = jax.lax.associative_scan(_combine, (J, c), axis=0)
+            return jnp.einsum("tij,j->ti", Jc, s0_vec) + cc, None
+
+        traj0 = jnp.zeros((T, S), s0_vec.dtype)
+        traj, _ = jax.lax.scan(sweep, traj0, None, length=n_iters)
+        return traj
+
+    def solve_fwd(prm, inp):
+        traj = solve_traj(prm, inp)
+        return traj, (traj, prm, inp)
+
+    def solve_bwd(res, gbar):
+        traj, prm, inp = res
+        prev = jnp.concatenate([s0_vec[None], traj[:-1]], axis=0)
+        J = jax.vmap(jax.jacfwd(lambda s, u: step_vec(s, u, prm)))(prev, inp)
+        # lam_t = gbar_t + J_{t+1}^T lam_{t+1}: reversed affine recurrence.
+        # Composition uses transposed Jacobians shifted by one step; reverse
+        # the time axis so the associative scan runs forward.
+        Jt = jnp.swapaxes(J, -1, -2)  # (T, S, S)
+        A = jnp.concatenate([Jt[1:], jnp.zeros_like(Jt[:1])], axis=0)[::-1]
+        b = gbar[::-1]
+        Ac, bc = jax.lax.associative_scan(_combine, (A, b), axis=0)
+        lam = bc[::-1]  # lam_T..lam_1 reversed back
+        # theta/input cotangents with traj held fixed
+        def summed(prm_, inp_):
+            F = jax.vmap(lambda s, u: step_vec(s, u, prm_))(prev, inp_)
+            return jnp.sum(F * lam)
+
+        gp, gi = jax.grad(summed, argnums=(0, 1))(prm, inp)
+        return gp, gi
+
+    solve_traj.defvjp(solve_fwd, solve_bwd)
+
+    traj = solve_traj(params, inputs)
+    prev = jnp.concatenate([s0_vec[None], traj[:-1]], axis=0)
+    return jax.vmap(lambda s, u: out_of(s, u, params))(prev, inputs)
+
+
 def parallel_time_batched(
     circuit: Circuit,
     params,

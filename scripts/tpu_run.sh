@@ -1,6 +1,6 @@
 #!/bin/bash
-# Robust TPU job launcher: retries if the job produces no output within
-# the grace period (works around wedged device claims on this host).
+# Robust TPU job launcher: retries on silent claim-wedges (no output within
+# the grace period) AND on TPU-worker crashes/restarts.
 # usage: tpu_run.sh <logfile> <grace_seconds> <cmd...>
 LOG=$1; GRACE=$2; shift 2
 for attempt in 1 2 3 4; do
@@ -8,24 +8,28 @@ for attempt in 1 2 3 4; do
   "$@" >> "$LOG" 2>&1 &
   PID=$!
   SECS=0
+  WEDGED=0
   while kill -0 $PID 2>/dev/null; do
     sleep 20
     SECS=$((SECS+20))
     LINES=$(grep -cvE "WARNING|Warning" "$LOG")
-    if [ "$LINES" -gt 0 ]; then
-      wait $PID
-      exit $?
-    fi
-    if [ "$SECS" -ge "$GRACE" ]; then
+    if [ "$LINES" -eq 0 ] && [ "$SECS" -ge "$GRACE" ]; then
       echo "[tpu_run] attempt $attempt wedged after ${SECS}s; retrying" >> "$LOG.launcher"
       kill $PID 2>/dev/null; sleep 5; kill -9 $PID 2>/dev/null
-      sleep 160   # let the stale claim expire
+      WEDGED=1
+      sleep 180
       break
     fi
   done
-  if ! kill -0 $PID 2>/dev/null && [ "$(grep -cvE 'WARNING|Warning' "$LOG")" -gt 0 ]; then
-    exit 0
+  if [ "$WEDGED" -eq 1 ]; then continue; fi
+  wait $PID; RC=$?
+  if [ "$RC" -eq 0 ]; then exit 0; fi
+  if grep -q "TPU worker process crashed" "$LOG"; then
+    echo "[tpu_run] attempt $attempt hit worker crash; cooling down" >> "$LOG.launcher"
+    sleep 600
+    continue
   fi
+  exit $RC
 done
 echo "[tpu_run] giving up" >> "$LOG.launcher"
 exit 1

@@ -76,3 +76,39 @@ def test_neural_root_supported():
     want, _ = ckt.process(params, ckt.init_state(), inputs)
     got = parallel_time_process(ckt, params, inputs, n_iters=16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_implicit_gradients_match_bptt():
+    """Implicit-adjoint gradients at the converged trajectory == BPTT through
+    the sequential scan (both value and grads w.r.t. params and inputs)."""
+    from diffwdf_tpu.ops.parallel_time import parallel_time_process_implicit
+
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    ckt = make_diode_clipper(root, FS)
+    params = {**ckt.init_params(), **root.init_params()}
+    vin = jnp.asarray(
+        (1.5 * np.random.default_rng(5).standard_normal(256)).astype(np.float32)
+    )
+    target = jnp.tanh(vin)
+
+    def loss_scan(p, v):
+        out, _ = ckt.process(p, ckt.init_state(), {"Vs": {"v": v}})
+        return jnp.mean((out - target) ** 2)
+
+    def loss_impl(p, v):
+        out = parallel_time_process_implicit(
+            ckt, p, {"Vs": {"v": v}}, n_iters=20
+        )
+        return jnp.mean((out - target) ** 2)
+
+    l1, (gp1, gv1) = jax.value_and_grad(loss_scan, argnums=(0, 1))(params, vin)
+    l2, (gp2, gv2) = jax.value_and_grad(loss_impl, argnums=(0, 1))(params, vin)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gp1), jax.tree_util.tree_leaves(gp2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-7
+        )
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2), rtol=2e-3,
+                               atol=1e-7)
