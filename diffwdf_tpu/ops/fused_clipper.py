@@ -299,7 +299,9 @@ def _neural_kernel_2h(const_ref, in_ref, z0_ref, k1_ref, c1_ref, k2_ref, c2_ref,
     zf_ref[0] = z_scr[:]
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "time_chunk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("fs", "time_chunk", "lanes", "interpret")
+)
 def fused_clipper_neural(
     vin,
     z0,
@@ -308,7 +310,8 @@ def fused_clipper_neural(
     cap,
     *,
     fs: float,
-    time_chunk: int = 256,
+    time_chunk: int = 128,
+    lanes: int = 0,
     interpret: bool = False,
 ):
     """Fused LPF diode clipper with a 2xH neural root (all-tanh, linear head).
@@ -316,8 +319,10 @@ def fused_clipper_neural(
     vin: (B, T), B multiple of 1024.  Returns (out, z_final).
     """
     B, T = vin.shape
-    assert B % BT == 0 and T % time_chunk == 0, (B, T)
-    nb, nt = B // BT, T // time_chunk
+    lanes = lanes or auto_lanes(B, T, time_chunk)
+    bt = _SUB * lanes
+    assert B % bt == 0 and T % time_chunk == 0, (B, T, lanes)
+    nb, nt = B // bt, T // time_chunk
 
     r_c = 1.0 / (2.0 * cap * fs)
     g = 1.0 / r_source + 1.0 / r_c
@@ -328,8 +333,8 @@ def fused_clipper_neural(
     H, k1, c1, k2, c2, k2b, c2b, w3, b3 = _kron_weights(mlp_params, log_r)
     consts = jnp.stack([p1R, b3]).astype(jnp.float32)[None, :]
 
-    x = _pack(vin)
-    z = _pack_state(z0)
+    x = _pack(vin, lanes)
+    z = _pack_state(z0, lanes)
     HS = H * _SUB
 
     kernel = functools.partial(_neural_kernel_2h, tc=time_chunk, H=H)
@@ -340,9 +345,9 @@ def fused_clipper_neural(
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, time_chunk * _SUB, _LANE), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, time_chunk * _SUB, lanes), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUB, _LANE), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, _SUB, lanes), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             full((HS, _SUB)),    # k1
             full((HS, 1)),       # c1
@@ -353,19 +358,19 @@ def fused_clipper_neural(
             full((_SUB, HS)),    # w3
         ],
         out_specs=[
-            pl.BlockSpec((1, time_chunk * _SUB, _LANE), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, time_chunk * _SUB, lanes), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUB, _LANE), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, _SUB, lanes), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, jnp.float32),
             jax.ShapeDtypeStruct(z.shape, jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((_SUB, _LANE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((_SUB, lanes), jnp.float32)],
         interpret=interpret,
     )(consts, x, z, k1, c1, k2, c2, k2b, c2b, w3)
-    return _unpack(out, B, T), _unpack_state(zf)
+    return _unpack(out, B, T, lanes), _unpack_state(zf)
 
 
 # ---------------------------------------------------------------------------
