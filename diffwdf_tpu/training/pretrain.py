@@ -14,10 +14,12 @@ a vectorized omega evaluation instead of a 20 000-iteration Python scipy loop.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..data.synthetic import pretraining_grid
@@ -40,6 +42,8 @@ class PretrainConfig:
     log_every: int = 0  # epochs between host-side metric reports (0 = end only)
     schedule: str = "const"  # "const" (reference parity) | "cosine" (warmup+decay)
     adam_eps: float = 1e-7  # keras default (reference trains with keras Adam)
+    epochs_per_call: int = 2000  # split very long runs into several device
+    # executions (single executions of many minutes can trip worker watchdogs)
 
 
 def pretrain_diode(
@@ -101,15 +105,28 @@ def pretrain_diode(
         }
         return (p, s), m
 
-    @jax.jit
-    def train(params, opt_state, key):
-        ekeys = jax.random.split(key, cfg.epochs)
+    @functools.partial(jax.jit, static_argnames=("n_epochs",))
+    def train(params, opt_state, key, n_epochs):
+        ekeys = jax.random.split(key, n_epochs)
         (params, opt_state), metrics = jax.lax.scan(
             epoch_step, (params, opt_state), ekeys
         )
-        return params, metrics
+        return params, opt_state, metrics
 
-    params, metrics = train(params, opt_state, key)
+    chunks = []
+    remaining = cfg.epochs
+    ci = 0
+    while remaining > 0:
+        n_call = min(remaining, cfg.epochs_per_call)
+        params, opt_state, m = train(
+            params, opt_state, jax.random.fold_in(key, ci), n_call
+        )
+        chunks.append(jax.tree_util.tree_map(np.asarray, m))
+        remaining -= n_call
+        ci += 1
+    metrics = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs), *chunks
+    ) if len(chunks) > 1 else chunks[0]
     return params, acts, metrics
 
 
