@@ -223,3 +223,55 @@ def make_clipper_processor(
     return StreamingProcessor(
         circuits, fs, param_maps={m: clipper_map for m in circuits}
     )
+
+
+def make_plugin_processor(
+    fs: float,
+    cutoff_hz: float = 4000.0,
+    drive: float = 0.5,
+    mlp_json: Optional[str] = None,
+) -> StreamingProcessor:
+    """The full reference-plugin circuit set (``DifferentiableWDFPlugin.h:41-43``):
+    diode clipper, multi-diode clipper, and Tube Screamer, with block-rate
+    cutoff/drive parameter maps."""
+    import diffwdf_tpu as dwdf
+    from ..models.diode_clipper import cutoff_to_resistance, make_diode_clipper
+    from ..models.tube_screamer import drive_to_r6, make_tube_screamer
+    from ..nn.serialization import load_model_json
+    from ..roots.neural import NeuralDiodeRoot
+
+    cap = 2.2e-9
+    r = cutoff_to_resistance(cutoff_hz, cap)
+    circuits = {}
+    param_maps = {}
+
+    # clipper (analytic best root)
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    ckt = make_diode_clipper(root, fs, r_source=r, cap=cap)
+    circuits["clipper"] = (ckt, {**ckt.init_params(), **root.init_params()})
+
+    # multi-diode clipper (3U-3D analytic; neural zoo roots plug in the same way)
+    mroot = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_3u3d)
+    mckt = make_diode_clipper(mroot, fs, r_source=r, cap=cap)
+    circuits["multi_diode_clipper"] = (
+        mckt, {**mckt.init_params(), **mroot.init_params()}
+    )
+
+    def clipper_map(cutoff_hz):
+        return {"Vs": {"R": cutoff_to_resistance(cutoff_hz, cap)}}
+
+    param_maps["clipper"] = clipper_map
+    param_maps["multi_diode_clipper"] = clipper_map
+
+    # tube screamer (analytic or zoo-neural root)
+    if mlp_json is not None:
+        mlp, acts, _ = load_model_json(mlp_json)
+        ts_root, ts_frag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
+    else:
+        ts_root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+        ts_frag = ts_root.init_params()
+    ts = make_tube_screamer(ts_root, fs, drive=drive)
+    circuits["tube_screamer"] = (ts, {**ts.init_params(), **ts_frag})
+    param_maps["tube_screamer"] = lambda drive: {"R6": {"R": drive_to_r6(drive)}}
+
+    return StreamingProcessor(circuits, fs, param_maps=param_maps)

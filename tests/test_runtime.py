@@ -124,3 +124,19 @@ def test_block_rate_cutoff_param():
     hi = proc.process_block(x, "toms", cutoff_hz=18000.0)
     # a 5 kHz tone passes the 18 kHz cutoff but is attenuated at 500 Hz
     assert np.sqrt(np.mean(hi[2000:] ** 2)) > 3 * np.sqrt(np.mean(lo[2000:] ** 2))
+
+
+def test_plugin_processor_all_circuits():
+    """The full plugin circuit set streams and responds to its params."""
+    from diffwdf_tpu.runtime.stream import make_plugin_processor
+
+    proc = make_plugin_processor(FS)
+    x = (0.2 * np.sin(2 * np.pi * 440.0 * np.arange(1024) / FS)).astype(np.float32)
+    for name in ("clipper", "multi_diode_clipper", "tube_screamer"):
+        out = proc.process_block(x, name)
+        assert out.shape == x.shape and np.all(np.isfinite(out))
+    # drive pot via block params
+    lo = proc.process_block(x, "tube_screamer", drive=0.0)
+    proc.reset()
+    hi = proc.process_block(x, "tube_screamer", drive=1.0)
+    assert np.max(np.abs(hi[500:])) > np.max(np.abs(lo[500:]))
