@@ -45,6 +45,7 @@ def cmd_pretrain(args):
     from .training.pretrain import PretrainConfig, evaluate_pretrained, pretrain_diode
 
     diode = _diode(args.diode)
+    print(f"backend: {jax.default_backend()}")
     cfg = PretrainConfig(
         n_layers=args.layers,
         layer_size=args.width,
@@ -52,6 +53,8 @@ def cmd_pretrain(args):
         learning_rate=args.lr,
         batch_size=args.batch_size,
         seed=args.seed,
+        schedule=args.schedule,
+        matmul_precision=args.precision,
     )
     params, acts, metrics = pretrain_diode(diode, cfg)
     final = evaluate_pretrained(params, acts, diode, cfg)
@@ -258,6 +261,10 @@ def cmd_bench(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="diffwdf_tpu")
+    p.add_argument("--platform", choices=("tpu", "cpu"),
+                   help="force the JAX backend (cpu = run without claiming "
+                        "the TPU; overrides the environment's platform "
+                        "registration at the config level)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("pretrain", help="synthetic diode pretraining")
@@ -268,6 +275,11 @@ def main(argv=None):
     sp.add_argument("--lr", type=float, default=2e-5)
     sp.add_argument("--batch-size", type=int, default=32)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--schedule", default="const", choices=("const", "cosine"))
+    sp.add_argument("--precision", default="default",
+                    choices=("default", "high", "highest"),
+                    help="matmul precision; 'highest' lifts the tiny-MLP "
+                         "accuracy floor set by MXU bf16 passes")
     sp.add_argument("--out")
     sp.add_argument("--plots-dir")
     sp.set_defaults(fn=cmd_pretrain)
@@ -318,6 +330,13 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        # config-level override: the environment may register a TPU plugin
+        # at interpreter startup, so a plain JAX_PLATFORMS env var is
+        # ignored (same mechanism as tests/conftest.py)
+        jax.config.update("jax_platforms", args.platform if args.platform != "tpu" else None)
     args.fn(args)
 
 

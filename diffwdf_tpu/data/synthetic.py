@@ -96,6 +96,44 @@ def synth_clipper_measurement(
     return vin, np.asarray(out, dtype=np.float32)
 
 
+def synth_hpf_measurement(
+    diode: DiodeConfig,
+    r_load: float = 47.0e3,
+    cap: float = 2.2e-9,
+    fs: float = 48000.0,
+    duration_s: float = 1.0,
+    seed: int = 0,
+    amp: float = 2.5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Simulate the HPF-topology clipper (``HPFDiodeClipper.h:26-32``) with
+    the analytic diode root on a multi-tone excitation; returns (vin, vout).
+
+    Stands in for the reference's ``placeholder_data/HPF`` measurement CSVs
+    (large blobs absent from the mount) — used to train the HPF "2x16
+    Trained" zoo model (``HPFDiodeClipper.cpp:29-30``).
+    """
+    from ..models.diode_clipper import make_hpf_diode_clipper
+
+    root = DiodePairRoot(name="dp", diode=diode, quality="best")
+    ckt = make_hpf_diode_clipper(root, fs, r_load=r_load, cap=cap)
+    params = {**ckt.init_params(), **root.init_params()}
+
+    n = int(duration_s * fs)
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / fs
+    f0, f1 = 40.0, 4000.0
+    phase = 2 * np.pi * f0 * (f1 / f0) ** (t / duration_s) * t / np.log(f1 / f0)
+    vin = amp * np.sin(phase).astype(np.float32)
+    vin += 0.05 * rng.standard_normal(n).astype(np.float32)
+    env = np.minimum(1.0, t * 20.0).astype(np.float32)
+    vin = (vin * env).astype(np.float32)
+
+    out, _ = jax.jit(lambda p, s, i: ckt.process(p, s, i))(
+        params, ckt.init_state(), {"Vs": {"v": jnp.asarray(vin)}}
+    )
+    return vin, np.asarray(out, dtype=np.float32)
+
+
 def write_reference_csv(path, vin, vout, fs: float):
     """Write a measurement CSV in the reference dataset's on-disk format
     (header rows incl. '#Sample rate: ...Hz' at row 4, '#Samples: N' at row

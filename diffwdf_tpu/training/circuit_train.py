@@ -58,22 +58,30 @@ def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunk
 
 
 def clipper_forward(circuit: Circuit, params, batches, checkpoint=False):
-    """Run the training clipper over a [n_seq, T] batch of (v, R) drives.
+    """Run the training clipper over a [n_seq, T] batch of (v[, R]) drives.
 
     State resets at chunk boundaries (reference behavior: ``Vs.reset();
-    C.reset()`` per forward, ``clipper_pot.py:110-111``).
+    C.reset()`` per forward, ``clipper_pot.py:110-111``).  With an "r"
+    stream the source resistance is driven per sample and the tree
+    re-adapts inside the scan (the reference pot, ``clipper_pot.py:114-117``);
+    without one (e.g. the fixed-R HPF topology) adaptation happens once.
     Returns outputs [n_seq, T].
     """
     state0 = circuit.init_state()
+    drive_r = "r" in batches
 
-    def run_one(v, r):
-        inputs = {"Vs": {"v": v, "R": r}}
+    def run_one(v, r=None):
+        inputs = {"Vs": {"v": v}}
+        if drive_r:
+            inputs["Vs"]["R"] = r
         out, _ = circuit.process(
-            params, state0, inputs, adapt_per_sample=True, checkpoint=checkpoint
+            params, state0, inputs, adapt_per_sample=drive_r, checkpoint=checkpoint
         )
         return out
 
-    return jax.vmap(run_one)(batches["x"], batches["r"])
+    if drive_r:
+        return jax.vmap(run_one)(batches["x"], batches["r"])
+    return jax.vmap(run_one)(batches["x"])
 
 
 def make_train_step(

@@ -44,6 +44,10 @@ class PretrainConfig:
     adam_eps: float = 1e-7  # keras default (reference trains with keras Adam)
     epochs_per_call: int = 2000  # split very long runs into several device
     # executions (single executions of many minutes can trip worker watchdogs)
+    matmul_precision: str = "default"  # "default" | "high" | "highest" —
+    # the MLP is tiny (2-in, 4..16 wide) so MXU bf16 passes ("default") put a
+    # ~1e-6 floor under the reachable MSE; "highest" (f32) lifts it at
+    # negligible cost for these shapes
 
 
 def pretrain_diode(
@@ -118,9 +122,10 @@ def pretrain_diode(
     ci = 0
     while remaining > 0:
         n_call = min(remaining, cfg.epochs_per_call)
-        params, opt_state, m = train(
-            params, opt_state, jax.random.fold_in(key, ci), n_call
-        )
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            params, opt_state, m = train(
+                params, opt_state, jax.random.fold_in(key, ci), n_call
+            )
         chunks.append(jax.tree_util.tree_map(np.asarray, m))
         remaining -= n_call
         ci += 1
@@ -136,7 +141,8 @@ def evaluate_pretrained(params, acts, diode: DiodeConfig, cfg: PretrainConfig):
     x_np, y_np = pretraining_grid(diode, n_r=cfg.n_r, n_a=cfg.n_a, a_span=cfg.a_span)
     x = jnp.asarray(x_np)
     y = jnp.asarray(y_np)[:, None]
-    pred = mlp_apply(params, acts, x)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        pred = jax.jit(lambda p, xx: mlp_apply(p, acts, xx))(params, x)
     return {
         "mse": float(mse(y, pred)),
         "esr": float(esr(y, pred, n_norm=cfg.n_a)),

@@ -1,41 +1,56 @@
-"""Retry the two ladder entries still behind the reference with longer
-schedules and more seeds; update PRETRAIN_RESULTS.json in place."""
+"""Retry the ladder entries still behind the reference with f32 matmul
+precision (the tiny-MLP MSE floor under MXU bf16 passes), longer cosine
+schedules, and more seeds; update PRETRAIN_RESULTS.json in place."""
 import json, os, sys, time
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from diffwdf_tpu.nn.serialization import save_model_json
 from diffwdf_tpu.roots.diode import ALL_1N4148
-from diffwdf_tpu.training.pretrain import PretrainConfig, evaluate_pretrained, pretrain_diode
+from diffwdf_tpu.training.pretrain import (
+    PretrainConfig,
+    evaluate_pretrained,
+    pretrain_diode,
+)
 
 TARGETS = [
     ("1N4148 (1U-1D)", 2, 16, {"mse": 7.98e-06, "esr": 9.49e-05}),
     ("1N4148 (2U-3D)", 2, 16, {"mse": 7.65e-06, "esr": 9.29e-05}),
 ]
+ATTEMPTS = [
+    (8000, 2e-3, 0), (8000, 2e-3, 1), (8000, 1e-3, 2), (12000, 2e-3, 3),
+    (12000, 1e-3, 4), (16000, 2e-3, 5), (16000, 1e-3, 6), (16000, 2e-3, 7),
+]
+
 results = json.load(open("PRETRAIN_RESULTS.json"))
 for diode_name, layers, width, ref in TARGETS:
     diode = ALL_1N4148[diode_name]
     best = None
-    for (epochs, lr, seed) in [(8000, 2e-3, 0), (8000, 2e-3, 1), (8000, 1e-3, 2),
-                               (12000, 2e-3, 3)]:
+    for (epochs, lr, seed) in ATTEMPTS:
         cfg = PretrainConfig(n_layers=layers, layer_size=width, epochs=epochs,
-                             learning_rate=lr, schedule="cosine", seed=seed)
+                             learning_rate=lr, schedule="cosine", seed=seed,
+                             matmul_precision="highest")
         t0 = time.time()
         params, acts, _ = pretrain_diode(diode, cfg)
         final = evaluate_pretrained(params, acts, diode, cfg)
-        rec = dict(final, epochs=epochs, lr=lr, seed=seed, s=round(time.time()-t0,1))
+        rec = dict(final, epochs=epochs, lr=lr, seed=seed,
+                   s=round(time.time() - t0, 1))
         print(diode_name, json.dumps(rec), flush=True)
         if best is None or final["mse"] < best[0]["mse"]:
             best = (rec, params, acts)
         if final["mse"] <= ref["mse"] and final["esr"] <= ref["esr"]:
             break
     rec, params, acts = best
-    # replace the tuned entry
     for r in results:
         if (r.get("mode") == "tuned" and r["diode"] == diode_name
                 and r["arch"] == f"{layers}x{width}"):
-            r.update(mse=rec["mse"], esr=rec["esr"], epochs=rec["epochs"],
-                     lr=rec["lr"], seed=rec["seed"],
-                     beats_ref=bool(rec["mse"] <= ref["mse"] and rec["esr"] <= ref["esr"]))
-    name = f"{diode_name}_{layers}x{width}_pretrained_model.json"
-    save_model_json(params, acts, os.path.join("models/pretrained", name))
+            if rec["mse"] < r["mse"]:
+                r.update(mse=rec["mse"], esr=rec["esr"], epochs=rec["epochs"],
+                         lr=rec["lr"], seed=rec["seed"],
+                         precision="f32",
+                         beats_ref=bool(rec["mse"] <= ref["mse"]
+                                        and rec["esr"] <= ref["esr"]))
+                name = f"{diode_name}_{layers}x{width}_pretrained_model.json"
+                save_model_json(params, acts,
+                                os.path.join("models/pretrained", name))
     json.dump(results, open("PRETRAIN_RESULTS.json", "w"), indent=2)
 print("done", flush=True)
