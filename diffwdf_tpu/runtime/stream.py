@@ -225,6 +225,45 @@ def make_clipper_processor(
     )
 
 
+def make_hpf_processor(
+    fs: float,
+    cutoff_hz: float = 4000.0,
+    lpf_trained_json: Optional[str] = None,
+    hpf_trained_json: Optional[str] = None,
+) -> StreamingProcessor:
+    """The HPF clipper circuit under its 4 root choices
+    (``HPFDiodeClipper.cpp:29-30,60-66``): TOMS, approx, the LPF-trained
+    2x16 run in the unseen topology ("extrapolated"), and the HPF-trained
+    2x16 ("trained").  Cutoff maps to the load resistor R = 1/(2 pi f C)
+    with C fixed at 2.2 nF."""
+    from ..models.diode_clipper import (
+        HPF_ZOO,
+        cutoff_to_resistance,
+        make_hpf_diode_clipper,
+        make_hpf_root_from_zoo,
+    )
+
+    cap = 2.2e-9
+    r_load = cutoff_to_resistance(cutoff_hz, cap)
+    names = ("toms", "approx", "extrapolated", "trained")
+    json_for = {
+        "extrapolated": lpf_trained_json,
+        "trained": hpf_trained_json,
+    }
+    circuits = {}
+    for i, name in enumerate(names):
+        root, frag = make_hpf_root_from_zoo(i, json_path=json_for.get(name))
+        ckt = make_hpf_diode_clipper(root, fs, r_load=r_load, cap=cap)
+        circuits[name] = (ckt, {**ckt.init_params(), **frag})
+
+    def hpf_map(cutoff_hz):
+        return {"R": {"R": cutoff_to_resistance(cutoff_hz, cap)}}
+
+    return StreamingProcessor(
+        circuits, fs, param_maps={n: hpf_map for n in circuits}
+    )
+
+
 def make_plugin_processor(
     fs: float,
     cutoff_hz: float = 4000.0,

@@ -140,3 +140,34 @@ def test_plugin_processor_all_circuits():
     proc.reset()
     hi = proc.process_block(x, "tube_screamer", drive=1.0)
     assert np.max(np.abs(hi[500:])) > np.max(np.abs(lo[500:]))
+
+
+def test_hpf_processor_four_roots():
+    """HPF circuit under its 4 root choices (``HPFDiodeClipper.cpp:29-30``):
+    all dispatch, all finite; the 'trained' HPF model (when its artifact
+    exists) tracks the analytic root closely."""
+    from diffwdf_tpu.runtime.stream import make_hpf_processor
+
+    proc = make_hpf_processor(FS)
+    n = np.arange(4096)
+    x = (0.8 * np.sin(2 * np.pi * 2000.0 * n / FS)).astype(np.float32)
+    outs = {}
+    for name in ("toms", "approx", "extrapolated", "trained"):
+        outs[name] = proc.process_block(x, name)
+        assert np.all(np.isfinite(outs[name])), name
+    # approx quality root stays close to TOMS
+    err = np.mean((outs["toms"][500:] - outs["approx"][500:]) ** 2)
+    assert err < 1e-3, err
+
+
+def test_hpf_processor_cutoff_moves_corner():
+    """Block-rate cutoff -> load-R map (``HPFDiodeClipper.cpp:64-66``):
+    a 100 Hz tone passes much more at a low cutoff than a high one."""
+    from diffwdf_tpu.runtime.stream import make_hpf_processor
+
+    n = np.arange(9600)
+    x = (0.2 * np.sin(2 * np.pi * 100.0 * n / FS)).astype(np.float32)
+    lo = make_hpf_processor(FS).process_block(x, "toms", cutoff_hz=200.0)
+    hi = make_hpf_processor(FS).process_block(x, "toms", cutoff_hz=10000.0)
+    rms = lambda y: float(np.sqrt(np.mean(np.asarray(y)[4800:] ** 2)))
+    assert rms(lo) > 3.0 * rms(hi), (rms(lo), rms(hi))
