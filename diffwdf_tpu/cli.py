@@ -28,6 +28,7 @@ DIODES = {
     "2u2d": "diode_1n4148_2u2d",
     "2u3d": "diode_1n4148_2u3d",
     "3u3d": "diode_1n4148_3u3d",
+    "oa1154": "diode_oa1154_1u1d",
 }
 
 
@@ -93,8 +94,9 @@ def cmd_train_clipper(args):
     diode = _diode(args.diode)
     if args.synthetic or not args.data_dir:
         data_dir = args.data_dir or "synthetic_dataset"
+        family = "1N4148" if "1N4148" in diode.name else diode.name.split()[0]
         sub = os.path.join(
-            data_dir, "1N4148", f"{diode.N_up}up{diode.N_down}down"
+            data_dir, family, f"{diode.N_up}up{diode.N_down}down"
         )
         import glob
 

@@ -1,0 +1,219 @@
+"""Generic fused-circuit Pallas kernel: compile ANY WDF `Circuit` to one
+TPU kernel that runs the whole sample recursion in VMEM.
+
+The hand-written kernels in ``fused_clipper.py`` cover the diode-clipper
+topology; this module generalizes the same design (batch tiled (8, lanes),
+capacitor states in VMEM scratch persisting across time-chunk grid steps) to
+arbitrary adapted trees — series/parallel/R-type adaptors, any number of
+reactive states, analytic diode or other scalar-param roots.  The circuit's
+own pure ``step`` function (up-traversal, root solve, down-traversal —
+``core/circuit.py``) is traced directly inside the kernel body: the tree
+walk is static Python emitting elementwise VPU ops, so the per-sample body
+lowers to a handful of FMAs plus the root's transcendentals with zero
+HBM traffic per step.
+
+This is the serving path for the complex-topology circuits (Tube Screamer's
+4-port R-type stage, HPF clipper) — reference hot loops
+``TubeScreamer.cpp:43-56`` and ``HPFDiodeClipper.cpp:44-55``.
+
+Restrictions (by design, not fundamental):
+- impedance-affecting controls must be block-rate (in ``static_controls``),
+  not per-sample — same restriction as the reference C++ engine, which
+  re-adapts only on parameter changes;
+- per-sample drive is a single voltage input node;
+- root/adaptor parameters must be scalars or small matrices (the R-type
+  S-matrix); neural-MLP roots use the dedicated ``fused_clipper_neural``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_clipper import _SUB, _pack, _unpack, auto_lanes
+
+_MAX_STATIC_MATRIX = 64  # matrix coeff leaves up to 8x8 are scalarized
+
+
+class _StaticMatrix:
+    """Trace-time 2-D container of scalar reads, supporting the static
+    ``S[i, j]`` indexing the adaptors use."""
+
+    def __init__(self, rows):
+        self.rows = rows
+
+    def __getitem__(self, ij):
+        i, j = ij
+        return self.rows[i][j]
+
+
+def _classify_leaves(leaves):
+    """Split bundle leaves into a flat scalar vector; matrices are
+    scalarized row-major.  Returns (vector values, spec list) where each
+    spec is (kind, start, shape)."""
+    vec = []
+    specs = []
+    for leaf in leaves:
+        arr = jnp.asarray(leaf, jnp.float32)
+        if arr.size == 1:
+            specs.append(("scalar", len(vec), ()))
+            vec.append(arr.reshape(()))
+        elif arr.ndim == 2 and arr.size <= _MAX_STATIC_MATRIX:
+            specs.append(("matrix", len(vec), arr.shape))
+            for v in arr.reshape(-1):
+                vec.append(v)
+        else:
+            raise ValueError(
+                f"fused_circuit: unsupported coeff/param leaf shape {arr.shape}"
+                " (neural roots have their own kernel)"
+            )
+    return vec, specs
+
+
+def _rebuild_leaves(sc_ref, specs):
+    out = []
+    for kind, start, shape in specs:
+        if kind == "scalar":
+            out.append(sc_ref[0, start])
+        else:
+            r, c = shape
+            rows = [
+                [sc_ref[0, start + i * c + j] for j in range(c)]
+                for i in range(r)
+            ]
+            out.append(_StaticMatrix(rows))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("circuit", "input_node", "time_chunk", "lanes", "interpret"),
+)
+def fused_circuit_process(
+    circuit,
+    params,
+    vin,
+    state0,
+    *,
+    input_node: str = "Vin",
+    static_controls: Optional[Dict[str, Dict[str, Any]]] = None,
+    time_chunk: int = 128,
+    lanes: int = 0,
+    interpret: bool = False,
+):
+    """Run ``circuit`` over ``vin`` (B, T) entirely inside one Pallas kernel.
+
+    state0: the circuit state pytree with each leaf of shape (B,).
+    Returns (out (B, T), final state pytree).  Matches
+    ``circuit.process(...)`` with hoisted adaptation (same math, fused
+    execution); impedance-affecting params go in ``static_controls``.
+    """
+    B, T = vin.shape
+    lanes = lanes or auto_lanes(B, T, time_chunk)
+    bt = _SUB * lanes
+    assert B % bt == 0 and T % time_chunk == 0, (B, T, lanes, time_chunk)
+    nb, nt = B // bt, T // time_chunk
+
+    coeffs = circuit.adapt(params, static_controls or {})
+    bundle = (coeffs, params, static_controls or {})
+    leaves, treedef = jax.tree_util.tree_flatten(bundle)
+    vec, specs = _classify_leaves(leaves)
+    sc = jnp.stack(vec).astype(jnp.float32)[None, :]
+
+    s_leaves, s_treedef = jax.tree_util.tree_flatten(state0)
+    n_s = len(s_leaves)
+    for leaf in s_leaves:
+        assert leaf.shape == (B,), f"state leaf shape {leaf.shape} != ({B},)"
+    # (nb, n_s*8, lanes): state leaf k lives in sublane rows [k*8, k*8+8)
+    z0 = (
+        jnp.concatenate(
+            [_pack(l.reshape(B, 1), lanes) for l in s_leaves], axis=1
+        )
+        if n_s
+        else jnp.zeros((nb, _SUB, lanes), jnp.float32)
+    )
+    zrows = max(n_s, 1) * _SUB
+
+    def kernel(sc_ref, in_ref, z0_ref, out_ref, zf_ref, z_scr):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            z_scr[...] = z0_ref[0]
+
+        rebuilt = _rebuild_leaves(sc_ref, specs)
+        coeffs_k, params_k, static_k = jax.tree_util.tree_unflatten(
+            treedef, rebuilt
+        )
+
+        def body(t, _):
+            v = in_ref[0, pl.ds(t * _SUB, _SUB), :]
+            st_leaves = [
+                z_scr[pl.ds(k * _SUB, _SUB), :] for k in range(n_s)
+            ]
+            st = jax.tree_util.tree_unflatten(s_treedef, st_leaves)
+            controls = {k: dict(v2) for k, v2 in static_k.items()}
+            controls.setdefault(input_node, {})
+            controls[input_node]["v"] = v
+            new_state, waves = circuit.step(params_k, coeffs_k, st, controls)
+            out_ref[0, pl.ds(t * _SUB, _SUB), :] = circuit.probe(waves)
+            for k, leaf in enumerate(
+                jax.tree_util.tree_leaves(new_state)[:n_s]
+            ):
+                z_scr[pl.ds(k * _SUB, _SUB), :] = leaf
+            return 0
+
+        jax.lax.fori_loop(0, time_chunk, body, 0)
+        zf_ref[0] = z_scr[...]
+
+    x = _pack(vin, lanes)
+    out, zf = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, sc.shape[1]), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, time_chunk * _SUB, lanes),
+                lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, zrows, lanes), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, time_chunk * _SUB, lanes),
+                lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, zrows, lanes), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            jax.ShapeDtypeStruct(z0.shape, jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((zrows, lanes), jnp.float32)],
+        interpret=interpret,
+    )(sc, x, z0)
+
+    out = _unpack(out, B, T, lanes)
+    if n_s:
+        zf_leaves = [
+            _unpack(zf[:, k * _SUB : (k + 1) * _SUB, :], B, 1, lanes).reshape(B)
+            for k in range(n_s)
+        ]
+        state_f = jax.tree_util.tree_unflatten(s_treedef, zf_leaves)
+    else:
+        state_f = state0
+    return out, state_f
