@@ -125,6 +125,35 @@ def main():
         "fit_max_abs_err": cheb_err,
     }
 
+    # --- Tube Screamer (R-type showcase): XLA scan vs generic fused kernel --
+    from diffwdf_tpu.models.tube_screamer import make_tube_screamer
+    from diffwdf_tpu.ops.fused_circuit import fused_circuit_process
+
+    ts_root = dwdf.DiodePairRoot(name="dp", diode=diode, quality="best")
+    ts = make_tube_screamer(ts_root, fs, drive=0.5)
+    ts_params = {**ts.init_params(), **ts_root.init_params()}
+    ts_state0 = jax.tree_util.tree_map(
+        lambda z: jnp.zeros((B,), jnp.float32), ts.init_state()
+    )
+
+    @jax.jit
+    def xla_ts(v):
+        def one(vv):
+            out, _ = ts.process(ts_params, ts.init_state(), {"Vin": {"v": vv}})
+            return out
+
+        return jax.vmap(one)(v)
+
+    dt_xla_ts = _timeit(xla_ts, vins)
+    dt_pl_ts = _timeit(
+        lambda v: fused_circuit_process(ts, ts_params, v, ts_state0), vins
+    )
+    details["tube_screamer"] = {
+        "xla_ms": dt_xla_ts * 1e3,
+        "pallas_ms": dt_pl_ts * 1e3,
+        "msamples_per_s": B * T / min(dt_xla_ts, dt_pl_ts) / 1e6,
+    }
+
     # --- CPU baseline: native C++ per-sample engine (the reference's
     # architecture: single-threaded sample loop, RTNeural-style MLP) ---------
     from diffwdf_tpu.native import lib as native

@@ -289,11 +289,22 @@ def make_plugin_processor(
     ckt = make_diode_clipper(root, fs, r_source=r, cap=cap)
     circuits["clipper"] = (ckt, {**ckt.init_params(), **root.init_params()})
 
-    # multi-diode clipper (3U-3D analytic; neural zoo roots plug in the same way)
-    mroot = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_3u3d)
+    # multi-diode clipper: the reference's MultiDiodeClipper exposes the five
+    # multi-config 2x16 neural roots (zoo entries 7-11,
+    # ``MultiDiodeClipper.cpp:48``); use the pretrained zoo JSON when present,
+    # else the 3U-3D analytic root.
+    import os
+
+    mjson = "models/pretrained/1N4148 (3U-3D)_2x16_pretrained_model.json"
+    if os.path.exists(mjson):
+        mlp, acts, _ = load_model_json(mjson)
+        mroot, mfrag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
+    else:
+        mroot = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_3u3d)
+        mfrag = mroot.init_params()
     mckt = make_diode_clipper(mroot, fs, r_source=r, cap=cap)
     circuits["multi_diode_clipper"] = (
-        mckt, {**mckt.init_params(), **mroot.init_params()}
+        mckt, {**mckt.init_params(), **mfrag}
     )
 
     def clipper_map(cutoff_hz):

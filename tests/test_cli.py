@@ -1,0 +1,45 @@
+"""CLI surface smoke tests (the user entry point, ``diffwdf_tpu/cli.py``)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from diffwdf_tpu.cli import main
+
+
+def test_cli_pretrain_smoke(tmp_path, capsys):
+    out = tmp_path / "m.json"
+    main([
+        "pretrain", "--epochs", "5", "--width", "4", "--lr", "2e-3",
+        "--schedule", "cosine", "--precision", "highest",
+        "--out", str(out),
+    ])
+    cap = capsys.readouterr().out
+    assert "backend:" in cap
+    rec = json.loads([l for l in cap.splitlines() if l.startswith("{")][0])
+    assert rec["arch"] == "2x4" and np.isfinite(rec["mse"])
+    m = json.load(open(out))
+    assert m["in_shape"] == [None, 2]  # reference schema
+
+
+def test_cli_simulate_smoke(tmp_path, capsys):
+    out = tmp_path / "y.npy"
+    main([
+        "simulate", "--circuit", "tube_screamer", "--seconds", "0.05",
+        "--drive", "0.8", "--out", str(out),
+    ])
+    y = np.load(out)
+    assert y.shape == (2400,) and np.all(np.isfinite(y))
+
+
+def test_cli_rejects_bad_choice(capsys):
+    with pytest.raises(SystemExit):
+        main(["pretrain", "--precision", "bogus"])
+
+
+def test_cli_fit_components_smoke(capsys):
+    main(["fit-components", "--circuit", "divider", "--epochs", "30"])
+    cap = capsys.readouterr().out
+    assert "R1" in cap or "loss" in cap.lower()
