@@ -22,7 +22,9 @@ Restrictions (by design, not fundamental):
   re-adapts only on parameter changes;
 - per-sample drive is a single voltage input node;
 - root/adaptor parameters must be scalars or small matrices (the R-type
-  S-matrix); neural-MLP roots use the dedicated ``fused_clipper_neural``.
+  S-matrix); 2xH neural-MLP roots ride through the root-override hook
+  (:func:`fused_circuit_process_neural`), other MLP shapes use the
+  dedicated ``fused_clipper_neural``.
 """
 
 from __future__ import annotations
@@ -93,7 +95,14 @@ def _rebuild_leaves(sc_ref, specs):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("circuit", "input_node", "time_chunk", "lanes", "interpret"),
+    static_argnames=(
+        "circuit",
+        "input_node",
+        "time_chunk",
+        "lanes",
+        "interpret",
+        "root_override",
+    ),
 )
 def fused_circuit_process(
     circuit,
@@ -106,6 +115,8 @@ def fused_circuit_process(
     time_chunk: int = 128,
     lanes: int = 0,
     interpret: bool = False,
+    root_override=None,
+    root_arrays: tuple = (),
 ):
     """Run ``circuit`` over ``vin`` (B, T) entirely inside one Pallas kernel.
 
@@ -113,6 +124,11 @@ def fused_circuit_process(
     Returns (out (B, T), final state pytree).  Matches
     ``circuit.process(...)`` with hoisted adaptation (same math, fused
     execution); impedance-affecting params go in ``static_controls``.
+
+    root_override: optional ``(a, R_up, array_views) -> b`` replacing the
+    circuit root's reflect inside the kernel; ``root_arrays`` are passed as
+    whole VMEM blocks and handed to it (e.g. Kronecker-expanded MLP weights
+    — see :func:`fused_circuit_process_neural`).
     """
     B, T = vin.shape
     lanes = lanes or auto_lanes(B, T, time_chunk)
@@ -140,7 +156,11 @@ def fused_circuit_process(
     )
     zrows = max(n_s, 1) * _SUB
 
-    def kernel(sc_ref, in_ref, z0_ref, out_ref, zf_ref, z_scr):
+    n_root_arrays = len(root_arrays)
+
+    def kernel(sc_ref, in_ref, z0_ref, *rest):
+        root_refs = rest[:n_root_arrays]
+        out_ref, zf_ref, z_scr = rest[n_root_arrays:]
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -151,6 +171,7 @@ def fused_circuit_process(
         coeffs_k, params_k, static_k = jax.tree_util.tree_unflatten(
             treedef, rebuilt
         )
+        root_views = tuple(r[...] for r in root_refs)
 
         def body(t, _):
             v = in_ref[0, pl.ds(t * _SUB, _SUB), :]
@@ -161,7 +182,19 @@ def fused_circuit_process(
             controls = {k: dict(v2) for k, v2 in static_k.items()}
             controls.setdefault(input_node, {})
             controls[input_node]["v"] = v
-            new_state, waves = circuit.step(params_k, coeffs_k, st, controls)
+            # inlined circuit.step, allowing the root to be overridden
+            waves: Dict[str, Any] = {}
+            a_root = circuit.tree.reflected(coeffs_k, st, controls, waves)
+            r_up = coeffs_k[circuit.tree.name]["R"]
+            if root_override is not None:
+                b_root = root_override(a_root, r_up, root_views)
+            else:
+                b_root = circuit.root.reflect(a_root, r_up, params_k, controls)
+            new_entries = circuit.tree.incident(
+                coeffs_k, st, controls, waves, b_root
+            )
+            new_state = {**st, **new_entries}
+            waves[circuit.root.name] = (a_root, b_root)
             out_ref[0, pl.ds(t * _SUB, _SUB), :] = circuit.probe(waves)
             for k, leaf in enumerate(
                 jax.tree_util.tree_leaves(new_state)[:n_s]
@@ -173,6 +206,13 @@ def fused_circuit_process(
         zf_ref[0] = z_scr[...]
 
     x = _pack(vin, lanes)
+    root_arrays = tuple(jnp.asarray(a, jnp.float32) for a in root_arrays)
+
+    def _full(shape):
+        return pl.BlockSpec(
+            shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
     out, zf = pl.pallas_call(
         kernel,
         grid=(nb, nt),
@@ -188,6 +228,7 @@ def fused_circuit_process(
             pl.BlockSpec(
                 (1, zrows, lanes), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+            *[_full(a.shape) for a in root_arrays],
         ],
         out_specs=[
             pl.BlockSpec(
@@ -205,7 +246,7 @@ def fused_circuit_process(
         ],
         scratch_shapes=[pltpu.VMEM((zrows, lanes), jnp.float32)],
         interpret=interpret,
-    )(sc, x, z0)
+    )(sc, x, z0, *root_arrays)
 
     out = _unpack(out, B, T, lanes)
     if n_s:
@@ -217,3 +258,58 @@ def fused_circuit_process(
     else:
         state_f = state0
     return out, state_f
+
+
+def _mlp_2h_root(a, r_up, views):
+    """Kron-expanded 2xH MLP root inside the kernel: b = -MLP([a, log R]).
+    views: (k1, c1, k2, c2, k2b, c2b, w3, b3) from ``_kron_weights``."""
+    k1, c1, k2, c2, k2b, c2b, w3, b3 = views
+    h = jnp.tanh(jnp.dot(k1, a, preferred_element_type=jnp.float32) + c1)
+    h = jnp.tanh(jnp.dot(k2, h, preferred_element_type=jnp.float32) + c2)
+    h = jnp.tanh(jnp.dot(k2b, h, preferred_element_type=jnp.float32) + c2b)
+    y = jnp.dot(w3, h, preferred_element_type=jnp.float32) + b3[0, 0]
+    return -y
+
+
+def fused_circuit_process_neural(
+    circuit,
+    params,
+    mlp_params,
+    vin,
+    state0,
+    *,
+    input_node: str = "Vin",
+    static_controls: Optional[Dict[str, Dict[str, Any]]] = None,
+    time_chunk: int = 128,
+    lanes: int = 0,
+    interpret: bool = False,
+):
+    """Fused execution of ``circuit`` with a 2xH neural diode root
+    (``NeuralDiodeRoot`` semantics, b = -MLP([a, log R])) — e.g. the Tube
+    Screamer's "1N4148 2x16" model choice (``TubeScreamer.h:73-74``).
+
+    The MLP rides the MXU via the same Kronecker expansion as
+    ``fused_clipper_neural``; the tree scatter stays elementwise VPU work.
+    """
+    from .fused_clipper import _kron_weights
+
+    coeffs = circuit.adapt(params, static_controls or {})
+    log_r = jnp.log(coeffs[circuit.tree.name]["R"])
+    _, k1, c1, k2, c2, k2b, c2b, w3, b3 = _kron_weights(mlp_params, log_r)
+    arrays = (k1, c1, k2, c2, k2b, c2b, w3, jnp.reshape(b3, (1, 1)))
+    # the MLP weights travel as VMEM blocks, not scalarized params — drop
+    # the root's fragment from the scalar bundle
+    tree_params = {k: v for k, v in params.items() if k != circuit.root.name}
+    return fused_circuit_process(
+        circuit,
+        tree_params,
+        vin,
+        state0,
+        input_node=input_node,
+        static_controls=static_controls,
+        time_chunk=time_chunk,
+        lanes=lanes,
+        interpret=interpret,
+        root_override=_mlp_2h_root,
+        root_arrays=arrays,
+    )

@@ -98,3 +98,21 @@ def test_fused_circuit_state_carries():
         np.asarray(full),
         atol=1e-6,
     )
+
+
+def test_fused_circuit_neural_tube_screamer():
+    """Neural 2x16 root through the root-override hook — the reference's
+    Tube Screamer neural model choice (``TubeScreamer.h:73-74``)."""
+    from diffwdf_tpu.ops.fused_circuit import fused_circuit_process_neural
+    from diffwdf_tpu.roots.neural import NeuralDiodeRoot
+
+    nroot = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=16)
+    frag = nroot.init_params(jax.random.PRNGKey(3))
+    ckt = make_tube_screamer(nroot, FS, drive=0.5)
+    params = {**ckt.init_params(), **frag}
+    vin = _vin(4, amp=0.2)
+    ref = _scan_ref(ckt, params, vin)
+    out, _ = fused_circuit_process_neural(
+        ckt, params, frag["dp"], vin, _batched_state(ckt), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
