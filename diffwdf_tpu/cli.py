@@ -195,13 +195,48 @@ def cmd_simulate(args):
     else:
         n = np.arange(int(args.seconds * fs))
         x = (args.amp * np.sin(2 * np.pi * args.freq * n / fs)).astype(np.float32)
-    out, _ = ckt.process(params, ckt.init_state(), {drive_node: {"v": jnp.asarray(x)}})
-    out = np.asarray(out)
+
+    if args.engine == "scan":
+        out, _ = ckt.process(
+            params, ckt.init_state(), {drive_node: {"v": jnp.asarray(x)}}
+        )
+        out = np.asarray(out)
+    elif args.engine == "fused":
+        import jax
+
+        from .ops.fused_circuit import fused_circuit_process
+
+        # the kernel wants B a multiple of 8*lanes and T a multiple of the
+        # time chunk: replicate the stream across the min batch tile and pad T
+        tc = 128
+        T = len(x)
+        pad = (-T) % tc
+        xp = np.pad(x, (0, pad))
+        vin = jnp.asarray(np.broadcast_to(xp, (1024, len(xp))).copy())
+        st0 = jax.tree_util.tree_map(
+            lambda z: jnp.zeros((1024,), jnp.float32), ckt.init_state()
+        )
+        o, _ = fused_circuit_process(
+            ckt, params, vin, st0, input_node=drive_node, lanes=128,
+            interpret=jax.default_backend() != "tpu",
+        )
+        out = np.asarray(o[0, :T])
+    elif args.engine == "pint":
+        from .ops.parallel_time import parallel_time_process
+
+        out = np.asarray(
+            parallel_time_process(
+                ckt, params, {drive_node: {"v": jnp.asarray(x)}}
+            )
+        )
+    else:
+        raise SystemExit(f"unknown engine {args.engine}")
     np.save(args.out or "sim_out.npy", out)
     print(
         json.dumps(
             {
                 "samples": len(out),
+                "engine": args.engine,
                 "peak": float(np.max(np.abs(out))),
                 "rms": float(np.sqrt(np.mean(out**2))),
                 "out": args.out or "sim_out.npy",
@@ -319,6 +354,9 @@ def main(argv=None):
     sp.add_argument("--seconds", type=float, default=1.0)
     sp.add_argument("--drive", type=float, default=0.5)
     sp.add_argument("--input", help=".npy input signal")
+    sp.add_argument("--engine", default="scan", choices=("scan", "fused", "pint"),
+                    help="execution engine: lax.scan, fused Pallas kernel, "
+                         "or parallel-in-time Newton solver")
     sp.add_argument("--out")
     sp.set_defaults(fn=cmd_simulate)
 

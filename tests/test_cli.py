@@ -43,3 +43,17 @@ def test_cli_fit_components_smoke(capsys):
     main(["fit-components", "--circuit", "divider", "--epochs", "30"])
     cap = capsys.readouterr().out
     assert "R1" in cap or "loss" in cap.lower()
+
+
+def test_cli_engines_agree(tmp_path):
+    """scan / fused-kernel / parallel-in-time engines give the same audio."""
+    outs = {}
+    for eng in ("scan", "fused", "pint"):
+        f = tmp_path / f"{eng}.npy"
+        main([
+            "simulate", "--circuit", "clipper", "--seconds", "0.02",
+            "--engine", eng, "--out", str(f),
+        ])
+        outs[eng] = np.load(f)
+    np.testing.assert_allclose(outs["scan"], outs["fused"], atol=5e-5)
+    np.testing.assert_allclose(outs["scan"], outs["pint"], atol=5e-5)
