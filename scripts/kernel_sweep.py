@@ -72,6 +72,24 @@ for tc in (64, 128, 256, 512):
         print(cfg, {k: results[k].get(cfg) for k in results}, flush=True)
         json.dump(results, open("KERNEL_SWEEP.json", "w"), indent=2)
 
+# XLA scan-path unroll sweep (the non-Pallas engine)
+from diffwdf_tpu.models.diode_clipper import make_diode_clipper
+
+nroot_full = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=16)
+ckt_n = make_diode_clipper(nroot_full, fs, r_source=47e3, cap=2.2e-9)
+pn = {**ckt_n.init_params(), "dp": nparams}
+st0 = ckt_n.init_state()
+for unroll in (1, 2, 4, 8, 16):
+    f = jax.jit(lambda v, u=unroll: jax.vmap(
+        lambda vv: ckt_n.process(pn, st0, {"Vs": {"v": vv}}, unroll=u)[0])(v))
+    try:
+        dt = timeit(f)
+        results.setdefault("xla_neural_unroll", {})[str(unroll)] = B * T / dt / 1e6
+    except Exception as e:
+        results.setdefault("xla_neural_unroll", {})[str(unroll)] = f"ERR {type(e).__name__}"
+    print("unroll", unroll, results["xla_neural_unroll"][str(unroll)], flush=True)
+    json.dump(results, open("KERNEL_SWEEP.json", "w"), indent=2)
+
 for k, v in results.items():
     best = max((x for x in v.items() if isinstance(x[1], float)),
                key=lambda x: x[1], default=None)
