@@ -229,6 +229,11 @@ def cmd_simulate(args):
                 ckt, params, {drive_node: {"v": jnp.asarray(x)}}
             )
         )
+    elif args.engine == "native":
+        from .native.codegen import compile_circuit
+
+        eng = compile_circuit(ckt, params, input_node=drive_node)
+        out, _ = eng.process(x)
     else:
         raise SystemExit(f"unknown engine {args.engine}")
     np.save(args.out or "sim_out.npy", out)
@@ -354,9 +359,11 @@ def main(argv=None):
     sp.add_argument("--seconds", type=float, default=1.0)
     sp.add_argument("--drive", type=float, default=0.5)
     sp.add_argument("--input", help=".npy input signal")
-    sp.add_argument("--engine", default="scan", choices=("scan", "fused", "pint"),
+    sp.add_argument("--engine", default="scan",
+                    choices=("scan", "fused", "pint", "native"),
                     help="execution engine: lax.scan, fused Pallas kernel, "
-                         "or parallel-in-time Newton solver")
+                         "parallel-in-time Newton solver, or generated "
+                         "native C (codegen)")
     sp.add_argument("--out")
     sp.set_defaults(fn=cmd_simulate)
 

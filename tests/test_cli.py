@@ -48,7 +48,7 @@ def test_cli_fit_components_smoke(capsys):
 def test_cli_engines_agree(tmp_path):
     """scan / fused-kernel / parallel-in-time engines give the same audio."""
     outs = {}
-    for eng in ("scan", "fused", "pint"):
+    for eng in ("scan", "fused", "pint", "native"):
         f = tmp_path / f"{eng}.npy"
         main([
             "simulate", "--circuit", "clipper", "--seconds", "0.02",
@@ -57,3 +57,4 @@ def test_cli_engines_agree(tmp_path):
         outs[eng] = np.load(f)
     np.testing.assert_allclose(outs["scan"], outs["fused"], atol=5e-5)
     np.testing.assert_allclose(outs["scan"], outs["pint"], atol=5e-5)
+    np.testing.assert_allclose(outs["scan"], outs["native"], atol=5e-5)
