@@ -197,6 +197,25 @@ def main():
             "msamples_per_s": cpu_msps,
         }
 
+    # --- CPU codegen engines (circuit -> generated C, single core) ---------
+    try:
+        from diffwdf_tpu.native.codegen import compile_circuit
+
+        x_cg = np.asarray(vins[0][0])
+        eng_c = compile_circuit(ckt_a, pa, input_node="Vs")
+        eng_ts = compile_circuit(ts, ts_params)
+        for e in (eng_c, eng_ts):
+            e.process(x_cg)
+        rec = {}
+        for label, e in (("clipper", eng_c), ("tube_screamer", eng_ts)):
+            t0 = time.time()
+            for _ in range(10):
+                e.process(x_cg)
+            rec[label + "_msamples_per_s"] = len(x_cg) / ((time.time() - t0) / 10) / 1e6
+        details["cpu_codegen"] = rec
+    except Exception as e:  # no compiler etc.
+        details["cpu_codegen"] = {"error": str(e)[:200]}
+
     vs_baseline = neural_msps / cpu_msps
 
     with open("BENCH_DETAILS.json", "w") as f:
