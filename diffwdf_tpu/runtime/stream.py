@@ -237,7 +237,6 @@ def make_hpf_processor(
     2x16 ("trained").  Cutoff maps to the load resistor R = 1/(2 pi f C)
     with C fixed at 2.2 nF."""
     from ..models.diode_clipper import (
-        HPF_ZOO,
         cutoff_to_resistance,
         make_hpf_diode_clipper,
         make_hpf_root_from_zoo,
