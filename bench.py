@@ -67,7 +67,7 @@ def main():
     @jax.jit
     def xla_neural(v):
         def one(vv):
-            out, _ = ckt_n.process(pn, st, {"Vs": {"v": vv}})
+            out, _ = ckt_n.process(pn, st, {"Vs": {"v": vv}}, unroll=8)
             return out
 
         return jax.vmap(one)(v)
@@ -91,7 +91,7 @@ def main():
     @jax.jit
     def xla_analytic(v):
         def one(vv):
-            out, _ = ckt_a.process(pa, st, {"Vs": {"v": vv}})
+            out, _ = ckt_a.process(pa, st, {"Vs": {"v": vv}}, unroll=8)
             return out
 
         return jax.vmap(one)(v)
@@ -139,7 +139,7 @@ def main():
     @jax.jit
     def xla_ts(v):
         def one(vv):
-            out, _ = ts.process(ts_params, ts.init_state(), {"Vin": {"v": vv}})
+            out, _ = ts.process(ts_params, ts.init_state(), {"Vin": {"v": vv}}, unroll=8)
             return out
 
         return jax.vmap(one)(v)
