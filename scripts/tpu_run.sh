@@ -29,6 +29,11 @@ for attempt in 1 2 3 4; do
     sleep 600
     continue
   fi
+  if grep -q "Unable to initialize backend" "$LOG"; then
+    echo "[tpu_run] attempt $attempt failed to claim the chip; retrying" >> "$LOG.launcher"
+    sleep 120
+    continue
+  fi
   exit $RC
 done
 echo "[tpu_run] giving up" >> "$LOG.launcher"
