@@ -18,16 +18,56 @@ import time
 import numpy as np
 
 
-def _timeit(fn, args_list, n=20):
-    import jax
+_RTT = None
 
+
+def _measure_rtt():
+    """One tunnel round trip (tiny compute + scalar fetch).  The chip sits
+    behind a network tunnel where ``block_until_ready`` does NOT round-trip,
+    so per-call sync times are meaningless; only dispatch pipelines closed
+    by a host fetch measure real device time."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda s: s + 1.0)
+    float(tiny(jnp.float32(0.0)))
+    ts = []
+    for i in range(5):
+        t0 = time.time()
+        float(tiny(jnp.float32(i)))
+        ts.append(time.time() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def _timeit(fn, args_list, n=100, reps=3):
+    """Steady-state device time per call: dispatch n calls back-to-back,
+    close the pipeline with a scalar drain fetch, subtract one RTT, take the
+    best of `reps` repeats (robust to tunnel jitter)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _RTT
+    if _RTT is None:
+        _RTT = _measure_rtt()
+
+    drain = jax.jit(
+        lambda o: jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x).astype(jnp.float32), o,
+            jnp.float32(0.0),
+        )
+    )
     out = fn(args_list[0])
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
-    t0 = time.time()
-    for i in range(n):
-        out = fn(args_list[i % len(args_list)])
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
-    return (time.time() - t0) / n
+    float(drain(out))  # warm kernel + drain
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        for i in range(n):
+            out = fn(args_list[i % len(args_list)])
+        float(drain(out))
+        tot = time.time() - t0
+        best = tot if best is None or tot < best else best
+    return max(best - _RTT, 1e-9) / n
 
 
 def main():
