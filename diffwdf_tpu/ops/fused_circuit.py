@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_clipper import _SUB, _pack, _unpack, auto_lanes
+from .fused_clipper import _SUB, _pack, _unpack, auto_lanes, clamp_time_chunk
 
 _MAX_STATIC_MATRIX = 64  # matrix coeff leaves up to 8x8 are scalarized
 
@@ -131,6 +131,7 @@ def fused_circuit_process(
     """
     B, T = vin.shape
     lanes = lanes or auto_lanes(B, T, time_chunk)
+    time_chunk = clamp_time_chunk(time_chunk, lanes, T)
     bt = _SUB * lanes
     assert B % bt == 0 and T % time_chunk == 0, (B, T, lanes, time_chunk)
     nb, nt = B // bt, T // time_chunk

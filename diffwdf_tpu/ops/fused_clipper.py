@@ -74,6 +74,14 @@ def auto_lanes(B, T, time_chunk):
     raise ValueError(f"B={B} must be a multiple of {_SUB * 128}")
 
 
+def clamp_time_chunk(time_chunk, lanes, T):
+    """Keep the double-buffered in+out VMEM tiles (2 x 2 x tc*8*lanes*4 B)
+    within the ~16 MB scoped-VMEM budget: tc * lanes <= 64K."""
+    while time_chunk > 8 and (time_chunk * lanes > 65536 or T % time_chunk):
+        time_chunk //= 2
+    return time_chunk
+
+
 def _omega_inline(x, iters: int):
     """Real-line Wright omega, same math as roots.omega (pure jnp: runs on
     the VPU inside the kernel)."""
@@ -166,6 +174,7 @@ def fused_clipper_analytic(
     """
     B, T = vin.shape
     lanes = lanes or auto_lanes(B, T, time_chunk)
+    time_chunk = clamp_time_chunk(time_chunk, lanes, T)
     bt = _SUB * lanes
     assert B % bt == 0 and T % time_chunk == 0, (B, T, lanes)
     nb, nt = B // bt, T // time_chunk
@@ -319,6 +328,7 @@ def fused_clipper_neural(
     """
     B, T = vin.shape
     lanes = lanes or auto_lanes(B, T, time_chunk)
+    time_chunk = clamp_time_chunk(time_chunk, lanes, T)
     bt = _SUB * lanes
     assert B % bt == 0 and T % time_chunk == 0, (B, T, lanes)
     nb, nt = B // bt, T // time_chunk
@@ -444,6 +454,7 @@ def fused_clipper_cheb(
     """
     B, T = vin.shape
     lanes = lanes or auto_lanes(B, T, time_chunk)
+    time_chunk = clamp_time_chunk(time_chunk, lanes, T)
     bt = _SUB * lanes
     assert B % bt == 0 and T % time_chunk == 0, (B, T, lanes)
     nb, nt = B // bt, T // time_chunk
