@@ -137,3 +137,31 @@ def plot_target_pred(target, pred, path: Optional[str] = None, title: str = ""):
         fig.savefig(path, dpi=120, bbox_inches="tight")
         plt.close(fig)
     return fig
+
+
+def load_history(path) -> Dict[str, List[float]]:
+    """Load a training history for plotting.
+
+    Accepts both this framework's JSONL metrics files and the reference's
+    pickled history dicts (``clipper_pot.py:283-284`` /
+    ``plot_history.py:9-16``).
+    """
+    import json as _json
+
+    spath = str(path)
+    if spath.endswith((".pkl", ".pickle")):
+        import pickle
+
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    hist: Dict[str, List[float]] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = _json.loads(line)
+            for k, v in rec.items():
+                if isinstance(v, (int, float)) and k not in ("epoch", "step"):
+                    hist.setdefault(k, []).append(float(v))
+    return hist

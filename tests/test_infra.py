@@ -163,3 +163,56 @@ def test_cli_pretrain_quick(tmp_path, capsys):
     assert os.path.exists(out)
     d = json.load(open(out))
     assert d["in_shape"] == [None, 2]
+
+
+def test_save_layers_json_full_tag_set(tmp_path):
+    """Generic exporter covers the reference's layer-kind tags
+    (``model_utils.py:18-55``): gru/lstm/conv1d/td-dense + unknown."""
+    import json
+
+    import numpy as np
+
+    from diffwdf_tpu.nn.serialization import save_layers_json
+
+    specs = [
+        {"type": "input-layer", "shape": [None, 2], "weights": []},
+        {"type": "dense", "shape": [None, 8], "activation": "tanh",
+         "weights": [np.zeros((2, 8)), np.zeros(8)]},
+        {"type": "gru", "shape": [None, None, 4], "activation": "",
+         "weights": [np.zeros((2, 12)), np.zeros((4, 12)), np.zeros((2, 12))]},
+        {"type": "conv1d", "shape": [None, None, 3], "activation": "relu",
+         "weights": [np.zeros((5, 1, 3)), np.zeros(3)],
+         "kernel_size": 5, "dilation": 2},
+    ]
+    out = save_layers_json(specs, tmp_path / "m.json")
+    d = json.load(open(tmp_path / "m.json"))
+    kinds = [l["type"] for l in d["layers"]]
+    assert kinds == ["unknown", "dense", "gru", "conv1d"]
+    assert d["layers"][3]["kernel_size"] == [5]
+    assert d["layers"][3]["dilation"] == [2]
+    # the dense loader skips non-dense entries, reference behavior
+    from diffwdf_tpu.nn.serialization import load_model_json
+
+    mlp, acts, d_in = load_model_json(tmp_path / "m.json")
+    assert len(mlp["layers"]) == 1 and acts == ("tanh",)
+
+
+def test_load_history_jsonl_and_pickle(tmp_path):
+    """History loader accepts the reference's pickles and our JSONL
+    (``plot_history.py:9-16`` parity)."""
+    import json
+    import pickle
+
+    from diffwdf_tpu.analysis import load_history
+
+    hist = {"loss": [1.0, 0.5], "val_loss": [2.0, 1.0]}
+    with open(tmp_path / "h.pkl", "wb") as f:
+        pickle.dump(hist, f)
+    assert load_history(tmp_path / "h.pkl") == hist
+
+    with open(tmp_path / "h.jsonl", "w") as f:
+        for i in range(2):
+            f.write(json.dumps({"epoch": i, "loss": hist["loss"][i],
+                                "val_loss": hist["val_loss"][i]}) + "\n")
+    h2 = load_history(tmp_path / "h.jsonl")
+    assert h2["loss"] == hist["loss"] and "epoch" not in h2
