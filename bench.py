@@ -194,6 +194,32 @@ def main():
         "msamples_per_s": B * T / min(dt_xla_ts, dt_pl_ts) / 1e6,
     }
 
+    # --- single-stream latency regime: sequential scan vs parallel-in-time
+    from diffwdf_tpu.ops.parallel_time import parallel_time_process
+
+    T1 = 16384
+    xs_single = [
+        jr.normal(jr.fold_in(key, 100 + i), (T1,), jnp.float32) * 2
+        for i in range(4)
+    ]
+
+    @jax.jit
+    def seq_single(v):
+        out, _ = ckt_a.process(pa, st, {"Vs": {"v": v}}, unroll=8)
+        return out
+
+    @jax.jit
+    def pint_single(v):
+        return parallel_time_process(ckt_a, pa, {"Vs": {"v": v}}, n_iters=12)
+
+    dt_seq = _timeit(seq_single, xs_single, n=30)
+    dt_pint = _timeit(pint_single, xs_single, n=30)
+    details["single_stream_T16384"] = {
+        "sequential_ms": dt_seq * 1e3,
+        "parallel_in_time_ms": dt_pint * 1e3,
+        "speedup": dt_seq / dt_pint,
+    }
+
     # --- CPU baseline: native C++ per-sample engine (the reference's
     # architecture: single-threaded sample loop, RTNeural-style MLP) ---------
     from diffwdf_tpu.native import lib as native
