@@ -29,6 +29,7 @@ from .roots.diode import (
     diode_1n4148_2u2d,
     diode_1n4148_2u3d,
     diode_1n4148_3u3d,
+    diode_oa1154_1u1d,
     diode_pair_reflected,
     diode_pair_reflected_symmetric,
     shockley_current,

@@ -118,3 +118,51 @@ def test_make_root_from_zoo_all_entries():
             ks = frag["dp"]["layers"][0]["kernel"].shape
             assert ks == (2, width)
             assert len(frag["dp"]["layers"]) == n_layers + 2
+
+
+def test_trained_artifacts_track_their_circuits():
+    """Our own trained artifacts (HPF-trained, OA1154 circuit-trained) track
+    the analytic oracle in their training topology (skip if not built yet)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    import diffwdf_tpu as dwdf
+    from diffwdf_tpu.models.diode_clipper import (
+        make_hpf_diode_clipper,
+        make_training_clipper,
+    )
+    from diffwdf_tpu.roots.neural import NeuralDiodeRoot
+
+    cases = [
+        ("runs/hpf_1u1d/1N4148_1U1D_2x16_hpf_trained.json",
+         dwdf.diode_1n4148_1u1d,
+         lambda r: make_hpf_diode_clipper(r, 48000.0), "Vs"),
+        ("runs/oa1154/OA1154_1U1D_2x16_circuit_trained.json",
+         dwdf.diode_oa1154_1u1d,
+         lambda r: make_training_clipper(r, 48000.0, r_source=45.0e3), "Vs"),
+    ]
+    ran = 0
+    for path, diode, mk, node in cases:
+        if not os.path.exists(path):
+            continue
+        ran += 1
+        mlp, acts, _ = dwdf.load_model_json(path)
+        nroot, frag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
+        ckt_n = mk(nroot)
+        pn = {**ckt_n.init_params(), **frag}
+        aroot = dwdf.DiodePairRoot(name="dp", diode=diode)
+        ckt_a = mk(aroot)
+        pa = {**ckt_a.init_params(), **aroot.init_params()}
+        n = np.arange(9600)
+        x = jnp.asarray((1.5 * np.sin(2 * np.pi * 300.0 * n / 48000.0))
+                        .astype(np.float32))
+        yn, _ = ckt_n.process(pn, ckt_n.init_state(), {node: {"v": x}})
+        ya, _ = ckt_a.process(pa, ckt_a.init_state(), {node: {"v": x}})
+        yn, ya = np.asarray(yn)[200:], np.asarray(ya)[200:]
+        esr = np.sum((yn - ya) ** 2) / (np.sum(ya**2) + 1e-12)
+        assert esr < 1e-2, (path, esr)
+    if not ran:
+        pytest.skip("no trained artifacts present")
