@@ -194,6 +194,38 @@ def main():
         "msamples_per_s": B * T / min(dt_xla_ts, dt_pl_ts) / 1e6,
     }
 
+    # --- training-step throughput (BPTT through the scan, pot-driven) ------
+    from diffwdf_tpu.models.diode_clipper import make_training_clipper
+    from diffwdf_tpu.training.circuit_train import (
+        CircuitTrainConfig,
+        make_train_step,
+    )
+
+    tr_root = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=16)
+    tr_ckt = make_training_clipper(tr_root, 48000.0)
+    tr_params = {**tr_ckt.init_params(), **tr_root.init_params(jr.PRNGKey(1))}
+    n_seq, T_tr = 128, 2048
+    tb = {
+        "x": jr.normal(key, (n_seq, T_tr), jnp.float32),
+        "r": jnp.full((n_seq, T_tr), 45.0e3, jnp.float32),
+        "y": jr.normal(jr.fold_in(key, 9), (n_seq, T_tr), jnp.float32),
+    }
+    import optax
+
+    tr_opt, train_step, _ = make_train_step(tr_ckt, CircuitTrainConfig(unroll=4))
+    _opt_state = tr_opt.init(tr_params)
+    dt_train = _timeit(
+        lambda b: train_step(tr_params, _opt_state, b)[2]["loss"],
+        [tb],
+        n=20,
+    )
+    details["training_step"] = {
+        "n_seq": n_seq,
+        "T": T_tr,
+        "ms": dt_train * 1e3,
+        "samples_per_s": n_seq * T_tr / dt_train,
+    }
+
     # --- single-stream latency regime: sequential scan vs parallel-in-time
     from diffwdf_tpu.ops.parallel_time import parallel_time_process
 

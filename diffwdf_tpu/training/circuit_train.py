@@ -41,6 +41,7 @@ class CircuitTrainConfig:
     skip_samples: int = 50
     use_pre_emphasis: bool = False
     checkpoint_scan: bool = False  # remat the scan body (memory vs flops)
+    unroll: int = 1  # scan unroll factor (compiled-code width; ~1.6x fwd at 8)
     log_every: int = 5
     max_chunks: Optional[int] = None  # cap sequences per split (for tests)
 
@@ -57,7 +58,8 @@ def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunk
     return out
 
 
-def clipper_forward(circuit: Circuit, params, batches, checkpoint=False):
+def clipper_forward(circuit: Circuit, params, batches, checkpoint=False,
+                    unroll=1):
     """Run the training clipper over a [n_seq, T] batch of (v[, R]) drives.
 
     State resets at chunk boundaries (reference behavior: ``Vs.reset();
@@ -75,7 +77,8 @@ def clipper_forward(circuit: Circuit, params, batches, checkpoint=False):
         if drive_r:
             inputs["Vs"]["R"] = r
         out, _ = circuit.process(
-            params, state0, inputs, adapt_per_sample=drive_r, checkpoint=checkpoint
+            params, state0, inputs, adapt_per_sample=drive_r,
+            checkpoint=checkpoint, unroll=unroll,
         )
         return out
 
@@ -94,7 +97,8 @@ def make_train_step(
     emphasis = (lambda t: pre_emphasis(t, axis=1)) if cfg.use_pre_emphasis else None
 
     def loss_fn(params, batches):
-        outs = clipper_forward(circuit, params, batches, cfg.checkpoint_scan)
+        outs = clipper_forward(circuit, params, batches, cfg.checkpoint_scan,
+                               cfg.unroll)
         y = batches["y"]
         o = outs[:, cfg.skip_samples :]
         t = y[:, cfg.skip_samples :]
