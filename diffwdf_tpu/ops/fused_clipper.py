@@ -267,7 +267,12 @@ def _kron_weights(mlp_params, log_r):
 
 def _neural_kernel_2h(const_ref, in_ref, z0_ref, k1_ref, c1_ref, k2_ref, c2_ref,
                       k2b_ref, c2b_ref, w3_ref, out_ref, zf_ref, z_scr, *, tc, H):
-    """Variant with two H->H hidden layers (the reference 2xH family)."""
+    """Variant with two H->H hidden layers (the reference 2xH family).
+
+    The dots run in the MXU's default mode (single-pass bf16 multiply with
+    f32 accumulate) — measured identical output to explicitly bf16-cast
+    weights, and the golden tests bound the end-to-end error, so this is
+    already the fastest MXU mode with no accuracy knob needed."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -278,25 +283,19 @@ def _neural_kernel_2h(const_ref, in_ref, z0_ref, k1_ref, c1_ref, k2_ref, c2_ref,
     b3 = const_ref[0, 1]
     HS = H * _SUB
 
+    def mm(w_ref, x):
+        return jnp.dot(w_ref[...], x, preferred_element_type=jnp.float32)
+
     def body(t, _):
         v = in_ref[0, pl.ds(t * _SUB, _SUB), :]
         z = z_scr[:]
         b_diff = z - v
         b_temp = -p1R * b_diff
         a = z + b_temp
-        h = jnp.tanh(
-            jnp.dot(k1_ref[...], a, preferred_element_type=jnp.float32)
-            + c1_ref[...]
-        )
-        h = jnp.tanh(
-            jnp.dot(k2_ref[...], h, preferred_element_type=jnp.float32)
-            + c2_ref[...]
-        )
-        h = jnp.tanh(
-            jnp.dot(k2b_ref[...], h, preferred_element_type=jnp.float32)
-            + c2b_ref[...]
-        )
-        y = jnp.dot(w3_ref[...], h, preferred_element_type=jnp.float32) + b3
+        h = jnp.tanh(mm(k1_ref, a) + c1_ref[...])
+        h = jnp.tanh(mm(k2_ref, h) + c2_ref[...])
+        h = jnp.tanh(mm(k2b_ref, h) + c2b_ref[...])
+        y = mm(w3_ref, h) + b3
         b_root = -y
         z_new = b_root + b_temp
         out_ref[0, pl.ds(t * _SUB, _SUB), :] = 0.5 * (z_new + z)
