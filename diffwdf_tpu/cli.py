@@ -190,7 +190,22 @@ def cmd_simulate(args):
         raise SystemExit(f"unknown circuit {args.circuit}")
     params = {**ckt.init_params(), **frag}
 
-    if args.input:
+    if args.input and args.input.lower().endswith(".wav"):
+        from .data.audio import read_wav
+
+        file_fs, x = read_wav(args.input)
+        if file_fs != fs:
+            # the circuit was built for args.fs; rebuild at the file's rate
+            fs = file_fs
+            if args.circuit == "clipper":
+                ckt = make_diode_clipper(root, fs)
+            elif args.circuit == "hpf_clipper":
+                ckt = make_hpf_diode_clipper(root, fs)
+            else:
+                ckt = make_tube_screamer(root, fs, drive=args.drive)
+            params = {**ckt.init_params(), **frag}
+        x = (args.amp * x).astype(np.float32)
+    elif args.input:
         x = np.load(args.input).astype(np.float32)
     else:
         n = np.arange(int(args.seconds * fs))
@@ -236,7 +251,13 @@ def cmd_simulate(args):
         out, _ = eng.process(x)
     else:
         raise SystemExit(f"unknown engine {args.engine}")
-    np.save(args.out or "sim_out.npy", out)
+    out_path = args.out or "sim_out.npy"
+    if out_path.lower().endswith(".wav"):
+        from .data.audio import write_wav
+
+        write_wav(out_path, fs, out)
+    else:
+        np.save(out_path, out)
     print(
         json.dumps(
             {
@@ -244,7 +265,7 @@ def cmd_simulate(args):
                 "engine": args.engine,
                 "peak": float(np.max(np.abs(out))),
                 "rms": float(np.sqrt(np.mean(out**2))),
-                "out": args.out or "sim_out.npy",
+                "out": out_path,
             }
         )
     )
@@ -358,13 +379,15 @@ def main(argv=None):
     sp.add_argument("--amp", type=float, default=1.0)
     sp.add_argument("--seconds", type=float, default=1.0)
     sp.add_argument("--drive", type=float, default=0.5)
-    sp.add_argument("--input", help=".npy input signal")
+    sp.add_argument("--input", help=".npy or .wav input signal (WAV is "
+                    "mono-summed; its sample rate overrides --fs)")
     sp.add_argument("--engine", default="scan",
                     choices=("scan", "fused", "pint", "native"),
                     help="execution engine: lax.scan, fused Pallas kernel, "
                          "parallel-in-time Newton solver, or generated "
                          "native C (codegen)")
-    sp.add_argument("--out")
+    sp.add_argument("--out", help="output path (.npy, or .wav for mono "
+                    "float32 audio)")
     sp.set_defaults(fn=cmd_simulate)
 
     sp = sub.add_parser("fit-components", help="learn R/C values (sanity workloads)")

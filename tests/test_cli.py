@@ -34,6 +34,36 @@ def test_cli_simulate_smoke(tmp_path, capsys):
     assert y.shape == (2400,) and np.all(np.isfinite(y))
 
 
+def test_cli_simulate_wav_roundtrip(tmp_path, capsys):
+    """WAV in → distorted mono WAV out, fs taken from the file (serving parity
+    with the reference plugin's audio-file path, DifferentiableWDFPlugin.cpp:50-64)."""
+    from scipy.io import wavfile
+
+    from diffwdf_tpu.data.audio import read_wav
+
+    fs = 32000
+    n = np.arange(int(0.05 * fs))
+    sine = 0.9 * np.sin(2 * np.pi * 110.0 * n / fs)
+    stereo16 = np.stack([sine, sine], axis=1)
+    stereo16 = (stereo16 * 32767).astype(np.int16)
+    wav_in = tmp_path / "in.wav"
+    wavfile.write(wav_in, fs, stereo16)
+
+    wav_out = tmp_path / "out.wav"
+    main([
+        "simulate", "--circuit", "clipper", "--fs", "48000",
+        "--input", str(wav_in), "--out", str(wav_out),
+    ])
+    rec = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rec["samples"] == len(sine)
+    fs_out, y = read_wav(wav_out)
+    assert fs_out == fs  # file rate overrode --fs
+    assert y.dtype == np.float32 and len(y) == len(sine)
+    assert np.all(np.isfinite(y)) and 0 < np.max(np.abs(y)) < 1.5
+    # the clipper must actually clip: output crest factor below the sine's
+    assert np.max(np.abs(y)) / np.sqrt(np.mean(y**2)) < np.sqrt(2.0)
+
+
 def test_cli_rejects_bad_choice(capsys):
     with pytest.raises(SystemExit):
         main(["pretrain", "--precision", "bogus"])
