@@ -64,6 +64,32 @@ def test_cli_simulate_wav_roundtrip(tmp_path, capsys):
     assert np.max(np.abs(y)) / np.sqrt(np.mean(y**2)) < np.sqrt(2.0)
 
 
+def test_cli_process_plugin_parity(tmp_path, capsys):
+    """`process` streams blocks through the full plugin processor with the
+    reference knob set (gain dB / cutoff / drive) and carried state."""
+    from diffwdf_tpu.data.audio import read_wav, write_wav
+
+    fs = 24000
+    n = np.arange(int(0.2 * fs))
+    x = 0.8 * np.sin(2 * np.pi * 220.0 * n / fs).astype(np.float32)
+    wav_in = tmp_path / "in.wav"
+    write_wav(wav_in, fs, x)
+
+    wav_out = tmp_path / "out.wav"
+    main([
+        "process", "--input", str(wav_in), "--circuit", "clipper",
+        "--gain-db", "12", "--cutoff", "2000", "--block", "1024",
+        "--out", str(wav_out),
+    ])
+    rec = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rec["samples"] == len(x) and rec["fs"] == fs
+    assert rec["blocks"] == -(-len(x) // 1024) and rec["load"] >= 0
+    _, y = read_wav(wav_out)
+    assert np.all(np.isfinite(y)) and 0 < np.max(np.abs(y)) < 1.5
+    # +12 dB into the clipper: heavily clipped, low crest factor
+    assert np.max(np.abs(y)) / np.sqrt(np.mean(y**2)) < np.sqrt(2.0)
+
+
 def test_cli_rejects_bad_choice(capsys):
     with pytest.raises(SystemExit):
         main(["pretrain", "--precision", "bogus"])
