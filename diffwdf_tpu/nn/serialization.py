@@ -41,7 +41,12 @@ def load_model_json(path_or_dict) -> Tuple[MLPParams, Tuple[str, ...], int]:
     else:
         d = path_or_dict
 
-    d_in = d["in_shape"][-1]
+    # legacy exporter variants in the reference zoo: in_shape may be a bare
+    # int (models/old/clipper.json) or nested one deeper ([[None, 2]],
+    # models/1N4148_clipper_pot.json)
+    d_in = d["in_shape"]
+    while isinstance(d_in, (list, tuple)):
+        d_in = d_in[-1]
     layers: List[Dict[str, Any]] = []
     activations: List[str] = []
     for l in d["layers"]:

@@ -166,3 +166,31 @@ def test_trained_artifacts_track_their_circuits():
         assert esr < 1e-2, (path, esr)
     if not ran:
         pytest.skip("no trained artifacts present")
+
+
+@needs_zoo
+def test_full_reference_zoo_interchange():
+    """EVERY JSON in the reference's model directory (pretrained, circuit-
+    trained, legacy ``old/`` exports — 68 files) loads through our
+    serialization, runs finitely through the MLP forward, and survives a
+    save→load round trip bit-exactly in f32.  Covers the legacy format
+    variants (nested/int ``in_shape``, InputLayer rows, 3-D kernels)."""
+    import glob
+
+    from diffwdf_tpu.nn.serialization import load_model_json, save_model_json
+
+    files = sorted(glob.glob(os.path.join(REF_MODELS, "**", "*.json"),
+                             recursive=True))
+    assert len(files) >= 60
+    for f in files:
+        mlp, acts, d_in = load_model_json(f)
+        assert len(mlp["layers"]) == len(acts) >= 3
+        x = jnp.stack(
+            [jnp.linspace(-2.5, 2.5, 32)] * d_in, axis=1
+        )
+        y = np.asarray(mlp_apply(mlp, acts, x))
+        assert np.all(np.isfinite(y)), f
+        mlp2, acts2, d2 = load_model_json(save_model_json(mlp, acts, d_in=d_in))
+        assert acts2 == acts and d2 == d_in
+        y2 = np.asarray(mlp_apply(mlp2, acts2, x))
+        np.testing.assert_array_equal(y, y2, err_msg=f)
