@@ -285,8 +285,21 @@ def cmd_process(args):
         fs = args.fs
         x = np.load(args.input).astype(np.float32)
 
+    clipper_json = None
+    if args.model is not None and args.model >= 2 and args.model_json is None:
+        # neural zoo entries default to the pretrained weights when present
+        from .models.diode_clipper import ZOO
+
+        _, (n_layers, width) = ZOO[args.model]
+        cfgs = ("1U-1D",) * 5 + ("1U-2D", "2U-2D", "1U-3D", "2U-3D", "3U-3D")
+        cand = (f"models/pretrained/1N4148 ({cfgs[args.model - 2]})_"
+                f"{n_layers}x{width}_pretrained_model.json")
+        clipper_json = cand if os.path.exists(cand) else None
+    elif args.model is not None and args.model >= 2:
+        clipper_json = args.model_json
     proc = make_plugin_processor(
-        fs, cutoff_hz=args.cutoff, drive=args.drive, mlp_json=args.model_json
+        fs, cutoff_hz=args.cutoff, drive=args.drive, mlp_json=args.model_json,
+        clipper_zoo=args.model, clipper_json=clipper_json,
     )
     if args.circuit == "tube_screamer":
         knobs = {"drive": args.drive}
@@ -454,7 +467,14 @@ def main(argv=None):
                     help="clipper cutoff Hz (200-20k, sets source R)")
     sp.add_argument("--drive", type=float, default=0.5,
                     help="tube screamer drive pot (0-1)")
-    sp.add_argument("--model-json", help="neural root for the tube screamer")
+    sp.add_argument("--model", type=int, choices=range(12), metavar="0-11",
+                    help="clipper root from the 12-entry model zoo "
+                         "(0 TOMS, 1 approx, 2-6 neural 1U-1D sizes, "
+                         "7-11 multi-diode 2x16); neural entries load the "
+                         "pretrained zoo weights when present")
+    sp.add_argument("--model-json",
+                    help="neural-root weights (tube screamer, or clipper "
+                         "with --model >= 2)")
     sp.add_argument("--block", type=int, default=2048)
     sp.add_argument("--fs", type=float, default=48000.0,
                     help="sample rate for .npy inputs")

@@ -268,12 +268,21 @@ def make_plugin_processor(
     cutoff_hz: float = 4000.0,
     drive: float = 0.5,
     mlp_json: Optional[str] = None,
+    clipper_zoo: Optional[int] = None,
+    clipper_json: Optional[str] = None,
 ) -> StreamingProcessor:
     """The full reference-plugin circuit set (``DifferentiableWDFPlugin.h:41-43``):
     diode clipper, multi-diode clipper, and Tube Screamer, with block-rate
-    cutoff/drive parameter maps."""
+    cutoff/drive parameter maps.  ``clipper_zoo`` selects the clipper's root
+    from the 12-entry model zoo (the reference DiodeClipper's model choice,
+    ``DiodeClipperWDF.h:24-36``), with ``clipper_json`` supplying neural
+    weights; default is the analytic best root (zoo entry 0)."""
     import diffwdf_tpu as dwdf
-    from ..models.diode_clipper import cutoff_to_resistance, make_diode_clipper
+    from ..models.diode_clipper import (
+        cutoff_to_resistance,
+        make_diode_clipper,
+        make_root_from_zoo,
+    )
     from ..models.tube_screamer import drive_to_r6, make_tube_screamer
     from ..nn.serialization import load_model_json
     from ..roots.neural import NeuralDiodeRoot
@@ -283,10 +292,12 @@ def make_plugin_processor(
     circuits = {}
     param_maps = {}
 
-    # clipper (analytic best root)
-    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    # clipper (zoo-selectable root; analytic best by default)
+    root, frag = make_root_from_zoo(
+        clipper_zoo if clipper_zoo is not None else 0, json_path=clipper_json
+    )
     ckt = make_diode_clipper(root, fs, r_source=r, cap=cap)
-    circuits["clipper"] = (ckt, {**ckt.init_params(), **root.init_params()})
+    circuits["clipper"] = (ckt, {**ckt.init_params(), **frag})
 
     # multi-diode clipper: the reference's MultiDiodeClipper exposes the five
     # multi-config 2x16 neural roots (zoo entries 7-11,

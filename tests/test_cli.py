@@ -90,6 +90,35 @@ def test_cli_process_plugin_parity(tmp_path, capsys):
     assert np.max(np.abs(y)) / np.sqrt(np.mean(y**2)) < np.sqrt(2.0)
 
 
+def test_cli_process_zoo_model_choice(tmp_path, capsys):
+    """--model selects the clipper root from the 12-entry zoo (the reference
+    DiodeClipper's model dropdown, DiodeClipperWDF.h:24-36); neural entries
+    pick up the pretrained weights, so output stays near the analytic root."""
+    from diffwdf_tpu.data.audio import write_wav
+
+    fs = 24000
+    n = np.arange(int(0.1 * fs))
+    x = 1.0 * np.sin(2 * np.pi * 220.0 * n / fs).astype(np.float32)
+    wav_in = tmp_path / "in.wav"
+    write_wav(wav_in, fs, x)
+
+    outs = {}
+    for model in (0, 4):
+        out = tmp_path / f"m{model}.npy"
+        main(["process", "--input", str(wav_in), "--circuit", "clipper",
+              "--model", str(model), "--out", str(out)])
+        capsys.readouterr()
+        outs[model] = np.load(out)
+    has_pretrained = os.path.exists(
+        "models/pretrained/1N4148 (1U-1D)_2x16_pretrained_model.json"
+    )
+    a, b = outs[0][500:], outs[4][500:]
+    esr = np.sum((a - b) ** 2) / np.sum(a**2)
+    if has_pretrained:
+        assert esr < 5e-2  # pretrained 2x16 tracks the analytic root
+    assert np.all(np.isfinite(b))
+
+
 def test_cli_rejects_bad_choice(capsys):
     with pytest.raises(SystemExit):
         main(["pretrain", "--precision", "bogus"])
