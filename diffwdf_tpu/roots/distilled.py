@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -139,8 +140,7 @@ def distill_root(
         coeffs=tuple(coeffs),
     )
     xs = np.linspace(-a_max, a_max, n_check)
-    got = np.asarray(
-        droot.reflect(jnp.asarray(xs, jnp.float64), jnp.float64(R), {}, {})
-    )
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    got = np.asarray(droot.reflect(jnp.asarray(xs, dt), dt(R), {}, {}))
     err = float(np.max(np.abs(got - f64(xs))))
     return droot, err

@@ -22,4 +22,4 @@ for (lr, sched, epochs, seed) in [
            "mse": final["mse"], "esr": final["esr"], "s": round(time.time()-t0,1)}
     print(json.dumps(rec), flush=True)
     results.append(rec)
-json.dump(results, open("pretrain_sweep.json","w"), indent=2)
+json.dump(results, open("runs/logs/pretrain_sweep.json","w"), indent=2)
