@@ -336,6 +336,67 @@ def cmd_process(args):
     )
 
 
+def cmd_export_artifact(args):
+    """Compile a circuit (weights baked in) to a self-contained StableHLO
+    serving artifact — the TPU-native analog of the reference's train→JSON→
+    plugin-binary deploy pipeline (``plugin/src/CMakeLists.txt:16-34``)."""
+    import jax.numpy as jnp
+
+    from .models.diode_clipper import (
+        ZOO, cutoff_to_resistance, make_diode_clipper, make_root_from_zoo,
+    )
+    from .runtime.artifact import load_artifact, save_artifact
+
+    fs = args.fs
+    if args.circuit == "clipper":
+        json_path = args.model_json
+        if json_path is None and args.model >= 2 and os.path.exists("models/pretrained"):
+            _, (n_layers, width) = ZOO[args.model]
+            cfgs = ("1U-1D",) * 5 + ("1U-2D", "2U-2D", "1U-3D", "2U-3D", "3U-3D")
+            cand = (f"models/pretrained/1N4148 ({cfgs[args.model - 2]})_"
+                    f"{n_layers}x{width}_pretrained_model.json")
+            json_path = cand if os.path.exists(cand) else None
+        root, frag = make_root_from_zoo(args.model, json_path=json_path)
+        cap = 2.2e-9
+        ckt = make_diode_clipper(
+            root, fs, r_source=cutoff_to_resistance(args.cutoff, cap), cap=cap)
+        params = {**ckt.init_params(), **frag}
+        input_node = "Vs"
+    elif args.circuit == "tube_screamer":
+        from .models.tube_screamer import make_tube_screamer
+        from .roots.diode import DiodePairRoot
+        from .roots.neural import NeuralDiodeRoot
+
+        if args.model_json:
+            from .nn.serialization import load_model_json
+
+            mlp, acts, _ = load_model_json(args.model_json)
+            root, frag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
+        else:
+            root = DiodePairRoot(name="dp")
+            frag = root.init_params()
+        ckt = make_tube_screamer(root, fs, drive=args.drive)
+        params = {**ckt.init_params(), **frag}
+        input_node = "Vin"
+    else:
+        raise SystemExit(f"unknown circuit {args.circuit}")
+
+    out_path = args.out or f"{args.circuit}_artifact.npz"
+    meta = save_artifact(out_path, ckt, params, input_node=input_node,
+                         block_len=args.block, fs=fs)
+    result = {"out": out_path, **meta,
+              "bytes": os.path.getsize(out_path)}
+    if args.check:
+        art = load_artifact(out_path)
+        n = np.arange(4 * args.block)
+        x = (2.0 * np.sin(2 * np.pi * 220.0 * n / fs)).astype(np.float32)
+        y = art.run(x)
+        ref, _ = ckt.process(params, ckt.init_state(),
+                             {input_node: {"v": jnp.asarray(x)}})
+        result["check_max_abs_err"] = float(np.max(np.abs(y - np.asarray(ref))))
+    print(json.dumps(result))
+
+
 def cmd_fit_components(args):
     import jax.numpy as jnp
     import scipy.signal as sig
@@ -480,6 +541,25 @@ def main(argv=None):
                     help="sample rate for .npy inputs")
     sp.add_argument("--out", help="output path (.wav or .npy)")
     sp.set_defaults(fn=cmd_process)
+
+    sp = sub.add_parser(
+        "export-artifact",
+        help="compile a circuit to a self-contained StableHLO serving artifact",
+    )
+    sp.add_argument("--circuit", default="clipper",
+                    choices=("clipper", "tube_screamer"))
+    sp.add_argument("--model", type=int, default=0, choices=range(12),
+                    metavar="0-11", help="clipper root from the model zoo")
+    sp.add_argument("--model-json", help="neural-root weights JSON")
+    sp.add_argument("--cutoff", type=float, default=4000.0)
+    sp.add_argument("--drive", type=float, default=0.5)
+    sp.add_argument("--block", type=int, default=2048)
+    sp.add_argument("--fs", type=float, default=48000.0)
+    sp.add_argument("--out", help="output .npz path")
+    sp.add_argument("--check", action="store_true",
+                    help="reload the artifact and cross-check against the "
+                         "live scan engine")
+    sp.set_defaults(fn=cmd_export_artifact)
 
     sp = sub.add_parser("fit-components", help="learn R/C values (sanity workloads)")
     sp.add_argument("--circuit", default="divider", choices=("divider", "lpf"))
