@@ -11,6 +11,7 @@ single-process CPU engine; the reference publishes no timing numbers).
 Details (all root models, XLA vs Pallas, batch sweep) go to BENCH_DETAILS.json.
 """
 
+import os
 import json
 import sys
 import time
@@ -164,6 +165,52 @@ def main():
         "msamples_per_s": B * T / dt_cheb / 1e6,
         "fit_max_abs_err": cheb_err,
     }
+
+    # --- full model-zoo ladder (reference bench args 0-6,
+    # ``diode_clipper_bench.cpp:31``) — opt-in: adds ~6 compiles -----------
+    if os.environ.get("DIFFWDF_BENCH_ZOO"):
+        ladder = {
+            "0_toms": B * T / dt_pl_a / 1e6,
+            "4_neural_2x16": B * T / min(dt_xla_n, dt_pl_n) / 1e6,
+        }
+
+        approx_root = dwdf.DiodePairRoot(name="dp", diode=diode, quality="low")
+        ckt_ap = make_diode_clipper(approx_root, fs, r_src, cap)
+        p_ap = {**ckt_ap.init_params(), **approx_root.init_params()}
+
+        def scan_fn(ckt, p):
+            @jax.jit
+            def f(v):
+                return jax.vmap(
+                    lambda vv: ckt.process(p, st, {"Vs": {"v": vv}}, unroll=8)[0]
+                )(v)
+
+            return f
+
+        ladder["1_approx"] = B * T / _timeit(scan_fn(ckt_ap, p_ap), vins, n=50) / 1e6
+
+        for label, (nl, width) in (
+            ("2_neural_2x4", (2, 4)),
+            ("3_neural_2x8", (2, 8)),
+            ("5_neural_4x4", (4, 4)),
+            ("6_neural_4x8", (4, 8)),
+        ):
+            rz = NeuralDiodeRoot(name="dp", n_layers=nl, layer_size=width)
+            pz = rz.init_params(jr.PRNGKey(2))
+            if nl == 2:  # 2-hidden nets have a fused Pallas kernel
+                dt = _timeit(
+                    lambda v, _pz=pz: fused_clipper_neural(
+                        v, z0, _pz["dp"], r_src, cap, fs=fs
+                    ),
+                    vins, n=50,
+                )
+            else:
+                cz = make_diode_clipper(rz, fs, r_src, cap)
+                dt = _timeit(
+                    scan_fn(cz, {**cz.init_params(), **pz}), vins, n=50
+                )
+            ladder[label] = B * T / dt / 1e6
+        details["zoo_ladder_msamples_per_s"] = ladder
 
     # --- Tube Screamer (R-type showcase): XLA scan vs generic fused kernel --
     from diffwdf_tpu.models.tube_screamer import make_tube_screamer
