@@ -397,6 +397,34 @@ def cmd_export_artifact(args):
     print(json.dumps(result))
 
 
+def cmd_run_artifact(args):
+    """Serve audio from a compiled artifact alone — no circuit definition,
+    params, or training stack (the deployment half of ``export-artifact``,
+    playing the plugin's role at serve time)."""
+    from .data.audio import read_wav, write_wav
+    from .runtime.artifact import load_artifact
+
+    art = load_artifact(args.artifact)
+    if args.input.lower().endswith(".wav"):
+        fs, x = read_wav(args.input)
+    else:
+        fs = art.meta.get("fs") or 48000.0
+        x = np.load(args.input).astype(np.float32)
+    y = art.run(x)
+    out_path = args.out or "artifact_out.wav"
+    if out_path.lower().endswith(".wav"):
+        write_wav(out_path, fs, y)
+    else:
+        np.save(out_path, y)
+    print(json.dumps({
+        "samples": len(y),
+        "fs": fs,
+        "block_len": art.block_len,
+        "peak": float(np.max(np.abs(y))),
+        "out": out_path,
+    }))
+
+
 def cmd_fit_components(args):
     import jax.numpy as jnp
     import scipy.signal as sig
@@ -560,6 +588,15 @@ def main(argv=None):
                     help="reload the artifact and cross-check against the "
                          "live scan engine")
     sp.set_defaults(fn=cmd_export_artifact)
+
+    sp = sub.add_parser(
+        "run-artifact",
+        help="serve audio from a compiled artifact (no circuit code needed)",
+    )
+    sp.add_argument("--artifact", required=True, help="artifact .npz path")
+    sp.add_argument("--input", required=True, help=".wav or .npy audio")
+    sp.add_argument("--out", help="output path (.wav or .npy)")
+    sp.set_defaults(fn=cmd_run_artifact)
 
     sp = sub.add_parser("fit-components", help="learn R/C values (sanity workloads)")
     sp.add_argument("--circuit", default="divider", choices=("divider", "lpf"))

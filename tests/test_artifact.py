@@ -117,3 +117,19 @@ def test_artifact_rejects_foreign_file(tmp_path):
     np.savez(path, meta=np.asarray('{"format": "other"}'))
     with pytest.raises(ValueError):
         load_artifact(path)
+
+
+def test_cli_export_then_run_artifact(tmp_path):
+    """Full deploy loop through the user surface: export on the 'trainer',
+    serve from the artifact alone."""
+    from diffwdf_tpu.cli import main
+
+    art = str(tmp_path / "a.npz")
+    inp = str(tmp_path / "x.npy")
+    out = str(tmp_path / "y.npy")
+    np.save(inp, _sine(700, amp=0.8))
+    main(["export-artifact", "--circuit", "clipper", "--model", "0",
+          "--block", "256", "--out", art])
+    main(["run-artifact", "--artifact", art, "--input", inp, "--out", out])
+    y = np.load(out)
+    assert y.shape == (700,) and np.all(np.isfinite(y)) and np.max(np.abs(y)) > 0.05
