@@ -197,18 +197,14 @@ def main():
         ):
             rz = NeuralDiodeRoot(name="dp", n_layers=nl, layer_size=width)
             pz = rz.init_params(jr.PRNGKey(2))
-            if nl == 2:  # 2-hidden nets have a fused Pallas kernel
-                dt = _timeit(
-                    lambda v, _pz=pz: fused_clipper_neural(
-                        v, z0, _pz["dp"], r_src, cap, fs=fs
-                    ),
-                    vins, n=50,
-                )
-            else:
-                cz = make_diode_clipper(rz, fs, r_src, cap)
-                dt = _timeit(
-                    scan_fn(cz, {**cz.init_params(), **pz}), vins, n=50
-                )
+            # the fused kernel covers the whole NxH family (stacked hidden
+            # layers, unrolled at trace time)
+            dt = _timeit(
+                lambda v, _pz=pz: fused_clipper_neural(
+                    v, z0, _pz["dp"], r_src, cap, fs=fs
+                ),
+                vins, n=50,
+            )
             ladder[label] = B * T / dt / 1e6
         details["zoo_ladder_msamples_per_s"] = ladder
 

@@ -260,13 +260,14 @@ def fused_circuit_process(
     return out, state_f
 
 
-def _mlp_2h_root(a, r_up, views):
-    """Kron-expanded 2xH MLP root inside the kernel: b = -MLP([a, log R]).
-    views: (k1, c1, k2, c2, k2b, c2b, w3, b3) from ``_kron_weights``."""
-    k1, c1, k2, c2, k2b, c2b, w3, b3 = views
+def _mlp_root(a, r_up, views):
+    """Kron-expanded NxH MLP root inside the kernel: b = -MLP([a, log R]).
+    views: (k1, c1, kh, ch, w3, b3) from ``_kron_weights`` (kh/ch stack the
+    hidden H->H layers along a leading axis; unrolled at trace time)."""
+    k1, c1, kh, ch, w3, b3 = views
     h = jnp.tanh(jnp.dot(k1, a, preferred_element_type=jnp.float32) + c1)
-    h = jnp.tanh(jnp.dot(k2, h, preferred_element_type=jnp.float32) + c2)
-    h = jnp.tanh(jnp.dot(k2b, h, preferred_element_type=jnp.float32) + c2b)
+    for l in range(kh.shape[0]):
+        h = jnp.tanh(jnp.dot(kh[l], h, preferred_element_type=jnp.float32) + ch[l])
     y = jnp.dot(w3, h, preferred_element_type=jnp.float32) + b3[0, 0]
     return -y
 
@@ -284,7 +285,7 @@ def fused_circuit_process_neural(
     lanes: int = 0,
     interpret: bool = False,
 ):
-    """Fused execution of ``circuit`` with a 2xH neural diode root
+    """Fused execution of ``circuit`` with an NxH neural diode root
     (``NeuralDiodeRoot`` semantics, b = -MLP([a, log R])) — e.g. the Tube
     Screamer's "1N4148 2x16" model choice (``TubeScreamer.h:73-74``).
 
@@ -295,8 +296,8 @@ def fused_circuit_process_neural(
 
     coeffs = circuit.adapt(params, static_controls or {})
     log_r = jnp.log(coeffs[circuit.tree.name]["R"])
-    _, k1, c1, k2, c2, k2b, c2b, w3, b3 = _kron_weights(mlp_params, log_r)
-    arrays = (k1, c1, k2, c2, k2b, c2b, w3, jnp.reshape(b3, (1, 1)))
+    _, k1, c1, kh, ch, w3, b3 = _kron_weights(mlp_params, log_r)
+    arrays = (k1, c1, kh, ch, w3, jnp.reshape(b3, (1, 1)))
     # the MLP weights travel as VMEM blocks, not scalarized params — drop
     # the root's fragment from the scalar bundle
     tree_params = {k: v for k, v in params.items() if k != circuit.root.name}
@@ -310,6 +311,6 @@ def fused_circuit_process_neural(
         time_chunk=time_chunk,
         lanes=lanes,
         interpret=interpret,
-        root_override=_mlp_2h_root,
+        root_override=_mlp_root,
         root_arrays=arrays,
     )

@@ -240,34 +240,30 @@ def fused_clipper_analytic(
 def _kron_weights(mlp_params, log_r):
     """Precompute Kronecker-expanded weights for the neural kernel.
 
-    Supports the reference "2xH" family (4 dense layers: H-H-H-1).  Layers 2
-    and 3 (both H->H) are folded into the expanded forms; deeper nets fall
-    back to the XLA path.
+    Supports the whole reference "NxH" MLP family: first dense 2->H with the
+    log-R column folded into its bias, any number of H->H tanh layers
+    (stacked along a leading axis), linear head H->1.
     """
     layers = mlp_params["layers"]
-    assert len(layers) == 4, "fused neural kernel supports the 2xH family"
+    assert len(layers) >= 3, "fused neural kernel needs >= 1 hidden H->H layer"
     W1, b1 = layers[0]["kernel"], layers[0]["bias"]  # (2,H), (H,)
-    W2, b2 = layers[1]["kernel"], layers[1]["bias"]  # (H,H)
-    W2b, b2b = layers[2]["kernel"], layers[2]["bias"]  # (H,H)
-    W3, b3 = layers[3]["kernel"], layers[3]["bias"]  # (H,1), (1,)
+    W3, b3 = layers[-1]["kernel"], layers[-1]["bias"]  # (H,1), (1,)
     H = W1.shape[1]
     eye8 = jnp.eye(_SUB, dtype=jnp.float32)
     # K1: (H*8, 8) = kron(w_a (H,1), I8)
     k1 = jnp.kron(W1[0:1, :].T, eye8)  # (H*8, 8)
     c1 = (W1[1] * log_r + b1)  # (H,)
     c1 = jnp.repeat(c1, _SUB)[:, None]  # (H*8, 1)
-    # fold hidden layers: two H->H tanh layers; expand each
-    k2 = jnp.kron(W2.T, eye8)  # (H*8, H*8)
-    c2 = jnp.repeat(b2, _SUB)[:, None]
-    k2b = jnp.kron(W2b.T, eye8)
-    c2b = jnp.repeat(b2b, _SUB)[:, None]
+    # hidden H->H tanh layers, Kronecker-expanded, stacked: (L, HS, HS)
+    kh = jnp.stack([jnp.kron(l["kernel"].T, eye8) for l in layers[1:-1]])
+    ch = jnp.stack([jnp.repeat(l["bias"], _SUB)[:, None] for l in layers[1:-1]])
     w3 = jnp.kron(W3[:, 0:1].T, eye8)  # (8, H*8)
-    return H, k1, c1, k2, c2, k2b, c2b, w3, b3[0]
+    return H, k1, c1, kh, ch, w3, b3[0]
 
 
-def _neural_kernel_2h(const_ref, in_ref, z0_ref, k1_ref, c1_ref, k2_ref, c2_ref,
-                      k2b_ref, c2b_ref, w3_ref, out_ref, zf_ref, z_scr, *, tc, H):
-    """Variant with two H->H hidden layers (the reference 2xH family).
+def _neural_kernel(const_ref, in_ref, z0_ref, k1_ref, c1_ref, kh_ref, ch_ref,
+                   w3_ref, out_ref, zf_ref, z_scr, *, tc, H, L):
+    """NxH neural root: L hidden H->H tanh layers, unrolled at trace time.
 
     The dots run in the MXU's default mode (single-pass bf16 multiply with
     f32 accumulate) — measured identical output to explicitly bf16-cast
@@ -281,10 +277,9 @@ def _neural_kernel_2h(const_ref, in_ref, z0_ref, k1_ref, c1_ref, k2_ref, c2_ref,
 
     p1R = const_ref[0, 0]
     b3 = const_ref[0, 1]
-    HS = H * _SUB
 
-    def mm(w_ref, x):
-        return jnp.dot(w_ref[...], x, preferred_element_type=jnp.float32)
+    def mm(w, x):
+        return jnp.dot(w, x, preferred_element_type=jnp.float32)
 
     def body(t, _):
         v = in_ref[0, pl.ds(t * _SUB, _SUB), :]
@@ -292,10 +287,10 @@ def _neural_kernel_2h(const_ref, in_ref, z0_ref, k1_ref, c1_ref, k2_ref, c2_ref,
         b_diff = z - v
         b_temp = -p1R * b_diff
         a = z + b_temp
-        h = jnp.tanh(mm(k1_ref, a) + c1_ref[...])
-        h = jnp.tanh(mm(k2_ref, h) + c2_ref[...])
-        h = jnp.tanh(mm(k2b_ref, h) + c2b_ref[...])
-        y = mm(w3_ref, h) + b3
+        h = jnp.tanh(mm(k1_ref[...], a) + c1_ref[...])
+        for l in range(L):  # static unroll over hidden layers
+            h = jnp.tanh(mm(kh_ref[l], h) + ch_ref[l])
+        y = mm(w3_ref[...], h) + b3
         b_root = -y
         z_new = b_root + b_temp
         out_ref[0, pl.ds(t * _SUB, _SUB), :] = 0.5 * (z_new + z)
@@ -321,7 +316,7 @@ def fused_clipper_neural(
     lanes: int = 0,
     interpret: bool = False,
 ):
-    """Fused LPF diode clipper with a 2xH neural root (all-tanh, linear head).
+    """Fused LPF diode clipper with an NxH neural root (all-tanh, linear head).
 
     vin: (B, T), B multiple of 1024.  Returns (out, z_final).
     """
@@ -338,14 +333,15 @@ def fused_clipper_neural(
     r_up = 1.0 / g
     log_r = jnp.log(r_up)
 
-    H, k1, c1, k2, c2, k2b, c2b, w3, b3 = _kron_weights(mlp_params, log_r)
+    H, k1, c1, kh, ch, w3, b3 = _kron_weights(mlp_params, log_r)
+    L = kh.shape[0]
     consts = jnp.stack([p1R, b3]).astype(jnp.float32)[None, :]
 
     x = _pack(vin, lanes)
     z = _pack_state(z0, lanes)
     HS = H * _SUB
 
-    kernel = functools.partial(_neural_kernel_2h, tc=time_chunk, H=H)
+    kernel = functools.partial(_neural_kernel, tc=time_chunk, H=H, L=L)
     full = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
     out, zf = pl.pallas_call(
@@ -359,10 +355,8 @@ def fused_clipper_neural(
                          memory_space=pltpu.VMEM),
             full((HS, _SUB)),    # k1
             full((HS, 1)),       # c1
-            full((HS, HS)),      # k2
-            full((HS, 1)),       # c2
-            full((HS, HS)),      # k2b
-            full((HS, 1)),       # c2b
+            full((L, HS, HS)),   # kh (stacked hidden layers)
+            full((L, HS, 1)),    # ch
             full((_SUB, HS)),    # w3
         ],
         out_specs=[
@@ -377,7 +371,7 @@ def fused_clipper_neural(
         ],
         scratch_shapes=[pltpu.VMEM((_SUB, lanes), jnp.float32)],
         interpret=interpret,
-    )(consts, x, z, k1, c1, k2, c2, k2b, c2b, w3)
+    )(consts, x, z, k1, c1, kh, ch, w3)
     return _unpack(out, B, T, lanes), _unpack_state(zf)
 
 

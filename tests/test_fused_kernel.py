@@ -114,3 +114,31 @@ def test_fused_neural_matches_engine():
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_z), want_z, atol=2e-5)
+
+
+def test_fused_neural_4x_family_matches_engine():
+    """The deeper zoo entries (4x4 / 4x8, ``DiodePairNeuralModel.h:23-40``)
+    run through the same kernel via the stacked-hidden-layer unroll."""
+    for width in (4, 8):
+        root = NeuralDiodeRoot(name="dp", n_layers=4, layer_size=width)
+        params = root.init_params(jax.random.PRNGKey(11 + width))
+        tree_params = make_diode_clipper(root, FS, R_SRC, CAP).init_params()
+        all_params = {**tree_params, **params}
+
+        B, T = 1024, 256
+        rng = np.random.default_rng(3)
+        vin = jnp.asarray((2.0 * rng.standard_normal((B, T))).astype(np.float32))
+        want, want_z = _engine_reference(root, all_params, vin)
+
+        got, got_z = fused_clipper_neural(
+            vin,
+            jnp.zeros((B,), jnp.float32),
+            params["dp"],
+            R_SRC,
+            CAP,
+            fs=FS,
+            time_chunk=128,
+            interpret=jax.default_backend() != "tpu",
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_z), want_z, atol=2e-5)
