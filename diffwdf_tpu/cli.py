@@ -397,6 +397,29 @@ def cmd_export_artifact(args):
     print(json.dumps(result))
 
 
+def cmd_plot(args):
+    """Analysis plots — CLI parity with the reference's two standalone
+    plotting scripts (``plot_history.py``, ``plot_transconductance.py``)."""
+    from . import analysis
+
+    if args.what == "history":
+        hist = analysis.load_history(args.history)
+        out = args.out or "history.png"
+        analysis.plot_history(hist, out, title=args.title or "Training history")
+        rec = {"plot": "history", "epochs": len(hist.get("loss", [])), "out": out}
+    else:  # transconductance
+        from .nn.serialization import load_model_json
+
+        mlp, acts, _ = load_model_json(args.model_json)
+        diode = _diode(args.diode)
+        out = args.out or "transconductance.png"
+        analysis.plot_transconductance(mlp, acts, diode, out, r=args.r)
+        err = analysis.transconductance_error(mlp, acts, diode)
+        rec = {"plot": "transconductance", "diode": diode.name,
+               "physics_rms_rel_err": err, "out": out}
+    print(json.dumps(rec))
+
+
 def cmd_run_artifact(args):
     """Serve audio from a compiled artifact alone — no circuit definition,
     params, or training stack (the deployment half of ``export-artifact``,
@@ -588,6 +611,20 @@ def main(argv=None):
                     help="reload the artifact and cross-check against the "
                          "live scan engine")
     sp.set_defaults(fn=cmd_export_artifact)
+
+    sp = sub.add_parser(
+        "plot",
+        help="analysis plots (history / transconductance, reference plot_* scripts)",
+    )
+    sp.add_argument("what", choices=("history", "transconductance"))
+    sp.add_argument("--history", help="history .pkl or metrics .jsonl")
+    sp.add_argument("--model-json", help="neural-root weights JSON")
+    sp.add_argument("--diode", default="1u1d", choices=DIODES)
+    sp.add_argument("--r", type=float, default=100.0,
+                    help="port resistance for transconductance extraction")
+    sp.add_argument("--title", help="history plot title")
+    sp.add_argument("--out", help="output .png path")
+    sp.set_defaults(fn=cmd_plot)
 
     sp = sub.add_parser(
         "run-artifact",
