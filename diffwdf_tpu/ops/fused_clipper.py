@@ -262,13 +262,18 @@ def _kron_weights(mlp_params, log_r):
 
 
 def _neural_kernel(const_ref, in_ref, z0_ref, k1_ref, c1_ref, kh_ref, ch_ref,
-                   w3_ref, out_ref, zf_ref, z_scr, *, tc, H, L):
+                   w3_ref, out_ref, zf_ref, z_scr, *, tc, H, L, K):
     """NxH neural root: L hidden H->H tanh layers, unrolled at trace time.
 
     The dots run in the MXU's default mode (single-pass bf16 multiply with
     f32 accumulate) — measured identical output to explicitly bf16-cast
     weights, and the golden tests bound the end-to-end error, so this is
-    already the fastest MXU mode with no accuracy knob needed."""
+    already the fastest MXU mode with no accuracy knob needed.
+
+    K > 1 splits the lane tile into K independent dependency chains and
+    interleaves them layer-by-layer: while chunk c's tanh runs on the VPU,
+    chunk c+1's matmul can occupy the MXU — the per-step MLP chain is
+    latency-bound, not throughput-bound, so this buys real overlap."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -277,24 +282,31 @@ def _neural_kernel(const_ref, in_ref, z0_ref, k1_ref, c1_ref, kh_ref, ch_ref,
 
     p1R = const_ref[0, 0]
     b3 = const_ref[0, 1]
+    cl = z_scr.shape[1] // K  # lanes per chunk
 
     def mm(w, x):
         return jnp.dot(w, x, preferred_element_type=jnp.float32)
 
     def body(t, _):
-        v = in_ref[0, pl.ds(t * _SUB, _SUB), :]
-        z = z_scr[:]
-        b_diff = z - v
-        b_temp = -p1R * b_diff
-        a = z + b_temp
-        h = jnp.tanh(mm(k1_ref[...], a) + c1_ref[...])
+        row = pl.ds(t * _SUB, _SUB)
+        z = [z_scr[:, c * cl:(c + 1) * cl] for c in range(K)]
+        b_temp = [
+            -p1R * (z[c] - in_ref[0, row, c * cl:(c + 1) * cl])
+            for c in range(K)
+        ]
+        a = [z[c] + b_temp[c] for c in range(K)]
+        # interleave the K chains layer-by-layer so independent matmuls
+        # and tanh evaluations overlap across chunks
+        h = [mm(k1_ref[...], a[c]) + c1_ref[...] for c in range(K)]
+        h = [jnp.tanh(hc) for hc in h]
         for l in range(L):  # static unroll over hidden layers
-            h = jnp.tanh(mm(kh_ref[l], h) + ch_ref[l])
-        y = mm(w3_ref[...], h) + b3
-        b_root = -y
-        z_new = b_root + b_temp
-        out_ref[0, pl.ds(t * _SUB, _SUB), :] = 0.5 * (z_new + z)
-        z_scr[:] = z_new
+            h = [mm(kh_ref[l], h[c]) + ch_ref[l] for c in range(K)]
+            h = [jnp.tanh(hc) for hc in h]
+        y = [mm(w3_ref[...], h[c]) + b3 for c in range(K)]
+        for c in range(K):
+            z_new = -y[c] + b_temp[c]
+            out_ref[0, row, c * cl:(c + 1) * cl] = 0.5 * (z_new + z[c])
+            z_scr[:, c * cl:(c + 1) * cl] = z_new
         return 0
 
     jax.lax.fori_loop(0, tc, body, 0)
@@ -302,7 +314,7 @@ def _neural_kernel(const_ref, in_ref, z0_ref, k1_ref, c1_ref, kh_ref, ch_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fs", "time_chunk", "lanes", "interpret")
+    jax.jit, static_argnames=("fs", "time_chunk", "lanes", "chunks", "interpret")
 )
 def fused_clipper_neural(
     vin,
@@ -314,17 +326,22 @@ def fused_clipper_neural(
     fs: float,
     time_chunk: int = 128,
     lanes: int = 0,
+    chunks: int = 2,
     interpret: bool = False,
 ):
     """Fused LPF diode clipper with an NxH neural root (all-tanh, linear head).
 
     vin: (B, T), B multiple of 1024.  Returns (out, z_final).
+    ``chunks`` = number of interleaved independent dependency chains per
+    lane tile (ILP knob; see _neural_kernel).
     """
     B, T = vin.shape
     lanes = lanes or auto_lanes(B, T, time_chunk)
     time_chunk = clamp_time_chunk(time_chunk, lanes, T)
     bt = _SUB * lanes
     assert B % bt == 0 and T % time_chunk == 0, (B, T, lanes)
+    if lanes % (chunks * 128):
+        chunks = max(1, lanes // 128)
     nb, nt = B // bt, T // time_chunk
 
     r_c = 1.0 / (2.0 * cap * fs)
@@ -341,7 +358,7 @@ def fused_clipper_neural(
     z = _pack_state(z0, lanes)
     HS = H * _SUB
 
-    kernel = functools.partial(_neural_kernel, tc=time_chunk, H=H, L=L)
+    kernel = functools.partial(_neural_kernel, tc=time_chunk, H=H, L=L, K=chunks)
     full = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
     out, zf = pl.pallas_call(
