@@ -248,12 +248,15 @@ def main():
     tr_ckt = make_training_clipper(tr_root, 48000.0)
     tr_params = {**tr_ckt.init_params(), **tr_root.init_params(jr.PRNGKey(1))}
     n_seq, T_tr = 128, 2048
-    tb = {
+    tb_ps = {
         "x": jr.normal(key, (n_seq, T_tr), jnp.float32),
         "r": jnp.full((n_seq, T_tr), 45.0e3, jnp.float32),
         "y": jr.normal(jr.fold_in(key, 9), (n_seq, T_tr), jnp.float32),
     }
-    import optax
+    # the measured-data regime: R constant per chunk -> adaptation hoisted
+    # out of the scan (make_clipper_batches collapses "r" to per-chunk "r0")
+    tb = {"x": tb_ps["x"], "y": tb_ps["y"],
+          "r0": jnp.full((n_seq,), 45.0e3, jnp.float32)}
 
     tr_opt, train_step, _ = make_train_step(tr_ckt, CircuitTrainConfig(unroll=4))
     _opt_state = tr_opt.init(tr_params)
@@ -262,11 +265,18 @@ def main():
         [tb],
         n=20,
     )
+    dt_train_ps = _timeit(
+        lambda b: train_step(tr_params, _opt_state, b)[2]["loss"],
+        [tb_ps],
+        n=20,
+    )
     details["training_step"] = {
         "n_seq": n_seq,
         "T": T_tr,
         "ms": dt_train * 1e3,
         "samples_per_s": n_seq * T_tr / dt_train,
+        "per_sample_pot_ms": dt_train_ps * 1e3,
+        "per_sample_pot_samples_per_s": n_seq * T_tr / dt_train_ps,
     }
 
     # --- single-stream latency regime: sequential scan vs parallel-in-time

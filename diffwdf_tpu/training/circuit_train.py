@@ -47,14 +47,28 @@ class CircuitTrainConfig:
 
 
 def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunks=None):
-    """{"x","r","y"} streams -> [n_seq, T] arrays (reference ``batch_data``)."""
+    """{"x","r","y"} streams -> [n_seq, T] arrays (reference ``batch_data``).
+
+    R-hoisting: the pot resistance is piecewise-constant per measurement file
+    (``dataimport.py:109`` parses one R per CSV), so almost every chunk has a
+    single R value.  When that holds for ALL chunks, the "r" stream collapses
+    to a per-chunk scalar "r0" [n_seq] and impedance adaptation runs ONCE per
+    chunk outside the scan (SURVEY.md §7) instead of per sample inside it —
+    identical math, ~an order of magnitude less per-step work.  Chunks with a
+    genuinely time-varying R keep the per-sample "r" stream.
+    """
     n = len(data["x"]) // batch_size
     if max_chunks is not None:
         n = min(n, max_chunks)
     out = {
-        k: jnp.asarray(v[: n * batch_size].reshape(n, batch_size))
+        k: jnp.asarray(np.asarray(v)[: n * batch_size].reshape(n, batch_size))
         for k, v in data.items()
     }
+    if "r" in out and n > 0:
+        r_np = np.asarray(out["r"])
+        if np.all(r_np == r_np[:, :1]):
+            out["r0"] = jnp.asarray(r_np[:, 0])
+            del out["r"]
     return out
 
 
@@ -71,19 +85,25 @@ def clipper_forward(circuit: Circuit, params, batches, checkpoint=False,
     """
     state0 = circuit.init_state()
     drive_r = "r" in batches
+    hoisted_r = "r0" in batches  # per-chunk constant R: adapt once per chunk
 
     def run_one(v, r=None):
         inputs = {"Vs": {"v": v}}
+        static = None
         if drive_r:
             inputs["Vs"]["R"] = r
+        elif hoisted_r:
+            static = {"Vs": {"R": r}}
         out, _ = circuit.process(
-            params, state0, inputs, adapt_per_sample=drive_r,
-            checkpoint=checkpoint, unroll=unroll,
+            params, state0, inputs, static_controls=static,
+            adapt_per_sample=drive_r, checkpoint=checkpoint, unroll=unroll,
         )
         return out
 
     if drive_r:
         return jax.vmap(run_one)(batches["x"], batches["r"])
+    if hoisted_r:
+        return jax.vmap(run_one)(batches["x"], batches["r0"])
     return jax.vmap(run_one)(batches["x"])
 
 

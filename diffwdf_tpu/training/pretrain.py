@@ -135,6 +135,95 @@ def pretrain_diode(
     return params, acts, metrics
 
 
+def pretrain_diode_multiseed(
+    diode: DiodeConfig, cfg: PretrainConfig, seeds
+) -> Tuple[Dict, Tuple[str, ...], Dict[str, jnp.ndarray]]:
+    """Train the same architecture from several seeds IN ONE device execution.
+
+    The per-step work is tiny (2-in MLPs), so the run time is dominated by the
+    sequential minibatch-step count — vmapping the whole training over a seed
+    axis makes extra seeds nearly free.  Returns (stacked_params, acts,
+    stacked_metrics) with a leading seed axis on every leaf.
+    """
+    x_np, y_np = pretraining_grid(
+        diode, n_r=cfg.n_r, n_a=cfg.n_a, a_span=cfg.a_span
+    )
+    x = jnp.asarray(x_np)
+    y = jnp.asarray(y_np)[:, None]
+
+    sizes, acts = mlp_arch(cfg.n_layers, cfg.layer_size)
+    keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+    init_keys, data_keys = jnp.moveaxis(
+        jax.vmap(lambda k: jnp.stack(jax.random.split(k)))(keys), 1, 0
+    )
+    params = jax.vmap(lambda k: mlp_init(k, sizes))(init_keys)
+
+    n = x.shape[0]
+    n_batches = n // cfg.batch_size
+    if cfg.schedule == "cosine":
+        total_steps = cfg.epochs * n_batches
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, int(0.02 * total_steps), total_steps,
+            end_value=cfg.learning_rate * 1e-2,
+        )
+    else:
+        lr = cfg.learning_rate
+    opt = optax.adam(lr, eps=cfg.adam_eps)
+    opt_state = jax.vmap(opt.init)(params)
+
+    def loss_fn(p, xb, yb):
+        pred = mlp_apply(p, acts, xb)
+        return mse(yb, pred) + esr(yb, pred, n_norm=cfg.n_a)
+
+    def minibatch_step(carry, idx):
+        p, s = carry
+        loss, g = jax.value_and_grad(loss_fn)(p, x[idx], y[idx])
+        updates, s = opt.update(g, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    def epoch_step(carry, ekey):
+        p, s = carry
+        perm = jax.random.permutation(ekey, n)[: n_batches * cfg.batch_size]
+        idxs = perm.reshape(n_batches, cfg.batch_size)
+        (p, s), losses = jax.lax.scan(minibatch_step, (p, s), idxs)
+        pred = mlp_apply(p, acts, x)
+        m = {
+            "loss": jnp.mean(losses),
+            "mse": mse(y, pred),
+            "esr": esr(y, pred, n_norm=cfg.n_a),
+        }
+        return (p, s), m
+
+    def train_one(params, opt_state, key, n_epochs):
+        ekeys = jax.random.split(key, n_epochs)
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch_step, (params, opt_state), ekeys
+        )
+        return params, opt_state, metrics
+
+    train = jax.jit(
+        jax.vmap(train_one, in_axes=(0, 0, 0, None)),
+        static_argnames=("n_epochs",),
+    )
+
+    chunks = []
+    remaining = cfg.epochs
+    ci = 0
+    while remaining > 0:
+        n_call = min(remaining, cfg.epochs_per_call)
+        call_keys = jax.vmap(lambda k: jax.random.fold_in(k, ci))(data_keys)
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            params, opt_state, m = train(params, opt_state, call_keys, n_call)
+        chunks.append(jax.tree_util.tree_map(np.asarray, m))
+        remaining -= n_call
+        ci += 1
+    metrics = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=1), *chunks
+    ) if len(chunks) > 1 else chunks[0]
+    return params, acts, metrics
+
+
 def evaluate_pretrained(params, acts, diode: DiodeConfig, cfg: PretrainConfig):
     """Final MSE/ESR on the full grid — the numbers the reference records in
     its results table (``diode_pretraining.py:189-201``)."""

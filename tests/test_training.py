@@ -163,3 +163,54 @@ def test_dataimport_roundtrip(tmp_path):
     # trim: 14.3 s kept from each 18 s file
     assert len(val["x"]) == int(np.ceil((2.5 + 14.3) * fs)) - int(2.5 * fs)
     assert np.all(np.isfinite(train["y"]))
+
+
+def test_hoisted_r_matches_per_sample_adaptation():
+    """R-hoisting (adapt once per constant-R chunk, SURVEY.md §7) is exactly
+    the per-sample re-adaptation math: outputs and gradients match."""
+    from diffwdf_tpu.training.circuit_train import clipper_forward
+    from diffwdf_tpu.training.losses import esr, mse
+
+    fs = 8000.0
+    root = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=8)
+    ckt = make_training_clipper(root, fs)
+    params = {**ckt.init_params(), **root.init_params(jax.random.PRNGKey(0))}
+
+    rng = np.random.default_rng(1)
+    n_seq, T = 3, 128
+    x = rng.normal(size=(n_seq * T,)).astype(np.float32)
+    y = rng.normal(size=(n_seq * T,)).astype(np.float32)
+    # per-chunk-constant R stream (different value per chunk)
+    r = np.repeat(np.float32([10e3, 45e3, 99e3]), T)
+
+    batches_ps = {k: jnp.asarray(v.reshape(n_seq, T)) for k, v in
+                  {"x": x, "r": r, "y": y}.items()}
+    batches_h = make_clipper_batches({"x": x, "r": r, "y": y}, T)
+    assert "r0" in batches_h and "r" not in batches_h
+    np.testing.assert_allclose(np.asarray(batches_h["r0"]), [10e3, 45e3, 99e3])
+
+    def loss(p, b):
+        out = clipper_forward(ckt, p, b)
+        return mse(b["y"], out) + esr(b["y"], out)
+
+    l_ps, g_ps = jax.value_and_grad(loss)(params, batches_ps)
+    l_h, g_h = jax.value_and_grad(loss)(params, batches_h)
+    np.testing.assert_allclose(float(l_h), float(l_ps), rtol=1e-6)
+    for (pa, ga), (pb, gb) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ps),
+        jax.tree_util.tree_leaves_with_path(g_h),
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   rtol=2e-5, atol=1e-7, err_msg=str(pa))
+
+
+def test_mixed_r_chunks_keep_per_sample_path():
+    """A chunk whose R changes mid-stream (file-boundary chunk) keeps the
+    per-sample 'r' stream — no silent hoisting of non-constant R."""
+    T = 64
+    x = np.zeros(2 * T, np.float32)
+    r = np.concatenate([np.full(T + 8, 10e3, np.float32),
+                        np.full(T - 8, 99e3, np.float32)])
+    batches = make_clipper_batches({"x": x, "r": r, "y": x}, T)
+    assert "r" in batches and "r0" not in batches
