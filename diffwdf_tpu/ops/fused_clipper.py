@@ -74,6 +74,22 @@ def auto_lanes(B, T, time_chunk):
     raise ValueError(f"B={B} must be a multiple of {_SUB * 128}")
 
 
+def _valid_chunks(chunks: int, lanes: int) -> int:
+    """Largest valid interleave count <= the request.
+
+    A chunk must be a whole number of 128-lane groups, so valid counts are
+    the divisors of lanes//128.  Invalid requests fall back to the nearest
+    valid count BELOW them (not the maximum) so the ILP factor never jumps
+    past what was asked for; chunks < 1 is an error.
+    """
+    if chunks < 1:
+        raise ValueError(f"chunks must be >= 1, got {chunks}")
+    k = min(chunks, lanes // 128)
+    while lanes % (k * 128):
+        k -= 1
+    return max(k, 1)
+
+
 def clamp_time_chunk(time_chunk, lanes, T):
     """Keep the double-buffered in+out VMEM tiles (2 x 2 x tc*8*lanes*4 B)
     within the ~16 MB scoped-VMEM budget: tc * lanes <= 64K."""
@@ -340,8 +356,7 @@ def fused_clipper_neural(
     time_chunk = clamp_time_chunk(time_chunk, lanes, T)
     bt = _SUB * lanes
     assert B % bt == 0 and T % time_chunk == 0, (B, T, lanes)
-    if lanes % (chunks * 128):
-        chunks = max(1, lanes // 128)
+    chunks = _valid_chunks(chunks, lanes)
     nb, nt = B // bt, T // time_chunk
 
     r_c = 1.0 / (2.0 * cap * fs)
@@ -390,6 +405,172 @@ def fused_clipper_neural(
         interpret=interpret,
     )(consts, x, z, k1, c1, kh, ch, w3)
     return _unpack(out, B, T, lanes), _unpack_state(zf)
+
+
+# ---------------------------------------------------------------------------
+# Training forward kernel: per-row source R + residual (root-input) output
+# ---------------------------------------------------------------------------
+
+
+def _neural_train_kernel(const_ref, in_ref, z0_ref, p1r_ref, k1_ref, c1_ref,
+                         kh_ref, ch_ref, w3_ref, out_ref, aout_ref, zf_ref,
+                         z_scr, *, tc, L, K):
+    """Forward of the differentiable fused clipper (ops.clipper_train).
+
+    Differences from ``_neural_kernel``: the parallel-adaptor coefficient
+    p1R and the MLP's log-R bias term are PER BATCH ROW (the hoisted
+    per-chunk pot resistance of the training data), and the per-step root
+    input a_t is written out as the residual the analytic backward pass
+    (an associative scan — see clipper_train) reconstructs everything from.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        z_scr[:] = z0_ref[0]
+
+    b3 = const_ref[0, 0]
+    cl = z_scr.shape[1] // K
+
+    def mm(w, x):
+        return jnp.dot(w, x, preferred_element_type=jnp.float32)
+
+    def body(t, _):
+        row = pl.ds(t * _SUB, _SUB)
+        sl = [pl.ds(c * cl, cl) for c in range(K)]
+        z = [z_scr[:, sl[c]] for c in range(K)]
+        p1R = [p1r_ref[0, :, sl[c]] for c in range(K)]
+        b_temp = [
+            -p1R[c] * (z[c] - in_ref[0, row, sl[c]]) for c in range(K)
+        ]
+        a = [z[c] + b_temp[c] for c in range(K)]
+        h = [mm(k1_ref[...], a[c]) + c1_ref[0, :, sl[c]] for c in range(K)]
+        h = [jnp.tanh(hc) for hc in h]
+        for l in range(L):
+            h = [mm(kh_ref[l], h[c]) + ch_ref[l] for c in range(K)]
+            h = [jnp.tanh(hc) for hc in h]
+        y = [mm(w3_ref[...], h[c]) + b3 for c in range(K)]
+        for c in range(K):
+            z_new = -y[c] + b_temp[c]
+            out_ref[0, row, sl[c]] = 0.5 * (z_new + z[c])
+            aout_ref[0, row, sl[c]] = a[c]
+            z_scr[:, sl[c]] = z_new
+        return 0
+
+    jax.lax.fori_loop(0, tc, body, 0)
+    zf_ref[0] = z_scr[:]
+
+
+def _kron_weights_unbiased(mlp_params):
+    """Kronecker expansion of the NxH family WITHOUT folding log-R into the
+    first bias (per-row R keeps that term as a per-lane array)."""
+    layers = mlp_params["layers"]
+    assert len(layers) >= 3, "fused neural kernel needs >= 1 hidden H->H layer"
+    W1 = layers[0]["kernel"]
+    W3, b3 = layers[-1]["kernel"], layers[-1]["bias"]
+    eye8 = jnp.eye(_SUB, dtype=jnp.float32)
+    k1 = jnp.kron(W1[0:1, :].T, eye8)
+    kh = jnp.stack([jnp.kron(l["kernel"].T, eye8) for l in layers[1:-1]])
+    ch = jnp.stack([jnp.repeat(l["bias"], _SUB)[:, None] for l in layers[1:-1]])
+    w3 = jnp.kron(W3[:, 0:1].T, eye8)
+    return W1.shape[1], k1, kh, ch, w3, b3[0]
+
+
+def _pack_c1(log_r, W1_r, b1, lanes):
+    """Per-row first-layer bias c1[b, h] = W1[1, h] * log_r[b] + b1[h],
+    laid out as (nb, H*8, lanes) matching the kernel's batch packing."""
+    c1 = log_r[:, None] * W1_r[None, :] + b1[None, :]  # (B, H)
+    B, H = c1.shape
+    nb = B // (_SUB * lanes)
+    c1 = c1.reshape(nb, _SUB, lanes, H)
+    c1 = jnp.transpose(c1, (0, 3, 1, 2))  # (nb, H, 8, lanes)
+    return c1.reshape(nb, H * _SUB, lanes)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fs", "time_chunk", "lanes", "chunks", "interpret")
+)
+def fused_clipper_neural_train_fwd(
+    vin,
+    z0,
+    mlp_params,
+    r_rows,
+    cap,
+    *,
+    fs: float,
+    time_chunk: int = 128,
+    lanes: int = 0,
+    chunks: int = 2,
+    interpret: bool = False,
+):
+    """Raw training forward: (out, z_final, a_seq) with per-row source R.
+
+    vin: (B, T); r_rows: (B,) per-chunk source resistance (the hoisted pot);
+    a_seq: the per-step root incident wave, the backward pass's residual.
+    Use via ops.clipper_train (which attaches the custom VJP) — this raw
+    entry exists for tests.
+    """
+    B, T = vin.shape
+    lanes = lanes or auto_lanes(B, T, time_chunk)
+    time_chunk = clamp_time_chunk(time_chunk, lanes, T)
+    bt = _SUB * lanes
+    assert B % bt == 0 and T % time_chunk == 0, (B, T, lanes)
+    chunks = _valid_chunks(chunks, lanes)
+    nb, nt = B // bt, T // time_chunk
+
+    r_c = 1.0 / (2.0 * cap * fs)
+    g = 1.0 / r_rows + 1.0 / r_c
+    p1r_rows = (1.0 / r_rows) / g
+    log_r = jnp.log(1.0 / g)
+
+    layers = mlp_params["layers"]
+    H, k1, kh, ch, w3, b3 = _kron_weights_unbiased(mlp_params)
+    L = kh.shape[0]
+    c1 = _pack_c1(log_r, layers[0]["kernel"][1], layers[0]["bias"], lanes)
+    consts = jnp.stack([b3]).astype(jnp.float32)[None, :]
+
+    x = _pack(vin, lanes)
+    z = _pack_state(z0, lanes)
+    p1r = _pack_state(p1r_rows.astype(jnp.float32), lanes)
+    HS = H * _SUB
+
+    kernel = functools.partial(_neural_train_kernel, tc=time_chunk, L=L,
+                               K=chunks)
+    full = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    stream = pl.BlockSpec((1, time_chunk * _SUB, lanes), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    per_tile = pl.BlockSpec((1, _SUB, lanes), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out, a_seq, zf = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            stream,                       # vin
+            per_tile,                     # z0
+            per_tile,                     # p1R rows
+            full((HS, _SUB)),             # k1
+            pl.BlockSpec((1, HS, lanes), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # c1 (per-row bias)
+            full((L, HS, HS)),            # kh
+            full((L, HS, 1)),             # ch
+            full((_SUB, HS)),             # w3
+        ],
+        out_specs=[stream, stream, per_tile],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            jax.ShapeDtypeStruct(z.shape, jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((_SUB, lanes), jnp.float32)],
+        interpret=interpret,
+    )(consts, x, z, p1r, k1, c1, kh, ch, w3)
+    return (
+        _unpack(out, B, T, lanes),
+        _unpack_state(zf),
+        _unpack(a_seq, B, T, lanes),
+    )
 
 
 # ---------------------------------------------------------------------------

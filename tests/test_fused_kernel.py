@@ -142,3 +142,42 @@ def test_fused_neural_4x_family_matches_engine():
         )
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
         np.testing.assert_allclose(np.asarray(got_z), want_z, atol=2e-5)
+
+
+def test_fused_neural_k2_interleave_matches_engine():
+    """B=2048 -> lanes=256 with chunks=2: the interleaved-ILP path (the one
+    bench.py exercises at B=8192/lanes=1024) matches the scan engine
+    (ADVICE r1: K>1 previously had no correctness coverage)."""
+    root = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=16)
+    params = root.init_params(jax.random.PRNGKey(11))
+    tree_params = make_diode_clipper(root, FS, R_SRC, CAP).init_params()
+    all_params = {**tree_params, **params}
+
+    B, T = 2048, 128
+    rng = np.random.default_rng(5)
+    vin = jnp.asarray((2.0 * rng.standard_normal((B, T))).astype(np.float32))
+    want, want_z = _engine_reference(root, all_params, vin)
+
+    got, got_z = fused_clipper_neural(
+        vin, jnp.zeros((B,), jnp.float32), params["dp"], R_SRC, CAP,
+        fs=FS, lanes=256, chunks=2,
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_z), want_z, atol=2e-5)
+
+
+def test_chunks_validation():
+    """chunks < 1 raises; an invalid request falls back to the largest valid
+    count <= the request, never above it (ADVICE r1)."""
+    import pytest
+
+    from diffwdf_tpu.ops.fused_clipper import _valid_chunks
+
+    with pytest.raises(ValueError):
+        _valid_chunks(0, 1024)
+    assert _valid_chunks(3, 1024) == 2   # nearest valid below, not 8
+    assert _valid_chunks(8, 1024) == 8
+    assert _valid_chunks(5, 512) == 4
+    assert _valid_chunks(2, 128) == 1    # single 128-lane group
+    assert _valid_chunks(16, 1024) == 8  # clamped to lanes//128
