@@ -279,6 +279,29 @@ def main():
         "per_sample_pot_samples_per_s": n_seq * T_tr / dt_train_ps,
     }
 
+    # fused engine: Pallas forward + associative-scan backward
+    # (ops.clipper_train) at a realistic full-dataset chunk count
+    n_seq_f = 1024
+    tbf = {
+        "x": jr.normal(key, (n_seq_f, T_tr), jnp.float32),
+        "y": jr.normal(jr.fold_in(key, 9), (n_seq_f, T_tr), jnp.float32),
+        "r0": jnp.full((n_seq_f,), 45.0e3, jnp.float32),
+    }
+    _, train_step_f, _ = make_train_step(
+        tr_ckt, CircuitTrainConfig(engine="fused")
+    )
+    dt_train_f = _timeit(
+        lambda b: train_step_f(tr_params, _opt_state, b)[2]["loss"],
+        [tbf],
+        n=20,
+    )
+    details["training_step_fused"] = {
+        "n_seq": n_seq_f,
+        "T": T_tr,
+        "ms": dt_train_f * 1e3,
+        "samples_per_s": n_seq_f * T_tr / dt_train_f,
+    }
+
     # --- single-stream latency regime: sequential scan vs parallel-in-time
     from diffwdf_tpu.ops.parallel_time import parallel_time_process
 

@@ -127,6 +127,7 @@ def cmd_train_clipper(args):
         batch_size=args.batch_size,
         learning_rate=args.lr,
         max_chunks=args.max_chunks,
+        engine=args.engine,
     )
     tb = make_clipper_batches(train, cfg.batch_size, cfg.max_chunks)
     vb = make_clipper_batches(val, cfg.batch_size, cfg.max_chunks) if len(val["x"]) else None
@@ -535,6 +536,9 @@ def main(argv=None):
     sp.add_argument("--lr", type=float, default=1e-4)
     sp.add_argument("--batch-size", type=int, default=2048)
     sp.add_argument("--max-chunks", type=int)
+    sp.add_argument("--engine", default="scan", choices=("scan", "fused"),
+                    help="fused = Pallas forward + associative-scan backward "
+                         "(LPF clipper, hoisted per-chunk R)")
     sp.add_argument("--cap", type=float, default=4.7e-9)
     sp.add_argument("--fs", type=float, default=48000.0)
     sp.add_argument("--seed", type=int, default=0)

@@ -44,6 +44,9 @@ class CircuitTrainConfig:
     unroll: int = 1  # scan unroll factor (compiled-code width; ~1.6x fwd at 8)
     log_every: int = 5
     max_chunks: Optional[int] = None  # cap sequences per split (for tests)
+    engine: str = "scan"  # "scan" (general BPTT) | "fused" (Pallas forward +
+    # associative-scan backward, ops.clipper_train; LPF clipper + neural
+    # root + hoisted per-chunk R only)
 
 
 def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunks=None):
@@ -107,6 +110,52 @@ def clipper_forward(circuit: Circuit, params, batches, checkpoint=False,
     return jax.vmap(run_one)(batches["x"])
 
 
+def _make_fused_forward(circuit: Circuit, cfg: CircuitTrainConfig):
+    """Forward via the differentiable fused Pallas kernel (ops.clipper_train).
+
+    Requirements: LPF clipper topology (Parallel(Vs, C)), an all-tanh NxH
+    neural root, and per-chunk-constant R ("r0" batches — the measured-data
+    regime).  The capacitor value is baked static (it is frozen in this
+    workload, as in the reference's circuit training); rows are zero-padded
+    up to the kernel's 1024-row tile and sliced back.
+    """
+    from ..ops.clipper_train import make_fused_clipper_train
+
+    root = circuit.root
+    acts = tuple(getattr(root, "activations", ()))
+    init_p = circuit.init_params()
+    assert "C" in init_p and "Vs" in init_p, (
+        "fused engine needs the LPF clipper topology (Vs || C)"
+    )
+    cap = float(init_p["C"]["C"])
+    default_r = float(init_p["Vs"]["R"])
+    fused = make_fused_clipper_train(
+        acts, cap, circuit.fs,
+        interpret=jax.default_backend() not in ("tpu",),
+    )
+    tile = 1024
+
+    def forward(params, batches):
+        v = batches["x"]
+        assert "r" not in batches, (
+            "fused engine requires per-chunk-constant R (hoisted 'r0'); "
+            "use engine='scan' for a genuinely time-varying pot"
+        )
+        B = v.shape[0]
+        r0 = batches.get("r0")
+        if r0 is None:
+            r0 = jnp.full((B,), default_r, jnp.float32)
+        pad = (-B) % tile
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros((pad, v.shape[1]), v.dtype)])
+            r0 = jnp.concatenate([r0, jnp.full((pad,), default_r, r0.dtype)])
+        out, _ = fused(v, jnp.zeros((v.shape[0],), jnp.float32),
+                       params[root.name], r0)
+        return out[:B]
+
+    return forward
+
+
 def make_train_step(
     circuit: Circuit,
     cfg: CircuitTrainConfig,
@@ -115,10 +164,16 @@ def make_train_step(
     """Build the jitted (params, opt_state, batches) -> ... training step."""
     opt = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=0.999)
     emphasis = (lambda t: pre_emphasis(t, axis=1)) if cfg.use_pre_emphasis else None
+    fused_forward = (
+        _make_fused_forward(circuit, cfg) if cfg.engine == "fused" else None
+    )
 
     def loss_fn(params, batches):
-        outs = clipper_forward(circuit, params, batches, cfg.checkpoint_scan,
-                               cfg.unroll)
+        if fused_forward is not None:
+            outs = fused_forward(params, batches)
+        else:
+            outs = clipper_forward(circuit, params, batches,
+                                   cfg.checkpoint_scan, cfg.unroll)
         y = batches["y"]
         o = outs[:, cfg.skip_samples :]
         t = y[:, cfg.skip_samples :]

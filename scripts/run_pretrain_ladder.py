@@ -59,6 +59,7 @@ def main():
             matmul_precision="highest",
         )
         seeds = list(range(n_seeds))
+        print(f"# start {diode_name} {layers}x{width} seeds={n_seeds}", flush=True)
         t0 = time.time()
         params_all, acts, metrics = pretrain_diode_multiseed(diode, cfg, seeds)
         dt = time.time() - t0

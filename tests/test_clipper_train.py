@@ -142,3 +142,47 @@ def test_fused_grad_deep_family():
             np.asarray(a) / scale, np.asarray(b) / scale,
             atol=2e-5, err_msg=str(pa),
         )
+
+
+def test_fused_engine_training_matches_scan_engine():
+    """train_clipper with engine='fused' follows the scan engine's loss
+    trajectory on a fixed seed (VERDICT r1 done-criterion: loss curves
+    unchanged) — including non-tile-multiple row counts (padding path)."""
+    from diffwdf_tpu.training.circuit_train import (
+        CircuitTrainConfig,
+        train_clipper,
+    )
+
+    root = NeuralDiodeRoot(name="dp", n_layers=1, layer_size=8)
+    ckt = make_training_clipper(root, 8000.0, cap=CAP)
+    params0 = {**ckt.init_params(), **root.init_params(jax.random.PRNGKey(4))}
+
+    rng = np.random.default_rng(7)
+    n_seq, T = 3, 128  # deliberately NOT a multiple of the 1024-row tile
+    batches = {
+        "x": jnp.asarray(rng.standard_normal((n_seq, T)).astype(np.float32)),
+        "y": jnp.asarray(
+            np.tanh(rng.standard_normal((n_seq, T))).astype(np.float32)
+        ),
+        "r0": jnp.asarray(np.float32([10e3, 45e3, 99e3])),
+    }
+    def only_root_grads(grads):
+        # the reference's circuit training updates only the NN
+        # (``clipper_pot.py:268-269`` over model.model.trainable_variables)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, grads)
+        zeros["dp"] = grads["dp"]
+        return zeros
+
+    hists = {}
+    for engine in ("scan", "fused"):
+        cfg = CircuitTrainConfig(
+            epochs=6, batch_size=T, learning_rate=3e-3, skip_samples=16,
+            engine=engine,
+        )
+        _, hist = train_clipper(ckt, dict(params0), batches, cfg=cfg,
+                                trainable_filter=only_root_grads)
+        hists[engine] = hist
+    np.testing.assert_allclose(
+        hists["fused"]["loss"], hists["scan"]["loss"], rtol=5e-4
+    )
+    assert hists["fused"]["loss"][-1] < hists["fused"]["loss"][0]
