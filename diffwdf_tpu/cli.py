@@ -337,6 +337,32 @@ def cmd_process(args):
     )
 
 
+def cmd_params(args):
+    """Reflect the parameter schema of every circuit in a processor set —
+    the CLI render of the reference's auto-generated GUI
+    (``CircuitModelGUI.cpp:55-66`` builds sliders/comboboxes from each
+    circuit's paramTags; this prints the same information as JSON)."""
+    from .runtime.stream import (
+        make_clipper_processor,
+        make_hpf_processor,
+        make_plugin_processor,
+    )
+
+    fs = args.fs
+    if args.set == "plugin":
+        proc = make_plugin_processor(fs)
+    elif args.set == "clipper":
+        proc = make_clipper_processor(fs)
+    else:
+        proc = make_hpf_processor(fs)
+    schema = {
+        name: [s.to_dict() for s in proc.param_specs(name)]
+        for name in proc.circuits
+    }
+    print(json.dumps({"set": args.set, "fs": fs, "circuits": schema},
+                     indent=2 if args.pretty else None))
+
+
 def cmd_export_artifact(args):
     """Compile a circuit (weights baked in) to a self-contained StableHLO
     serving artifact — the TPU-native analog of the reference's train→JSON→
@@ -596,6 +622,16 @@ def main(argv=None):
                     help="sample rate for .npy inputs")
     sp.add_argument("--out", help="output path (.wav or .npy)")
     sp.set_defaults(fn=cmd_process)
+
+    sp = sub.add_parser(
+        "params",
+        help="print the per-circuit parameter schema (GUI reflection)",
+    )
+    sp.add_argument("--set", default="plugin",
+                    choices=("plugin", "clipper", "hpf"))
+    sp.add_argument("--fs", type=float, default=48000.0)
+    sp.add_argument("--pretty", action="store_true")
+    sp.set_defaults(fn=cmd_params)
 
     sp = sub.add_parser(
         "export-artifact",

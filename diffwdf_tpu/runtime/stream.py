@@ -32,7 +32,17 @@ DC_BLOCKER_HZ = 25.0  # reference: DifferentiableWDFPlugin.cpp:31
 
 @dataclasses.dataclass
 class ParamSpec:
-    """Introspectable parameter descriptor (GUI-reflection parity)."""
+    """Introspectable parameter descriptor (GUI-reflection parity).
+
+    ``name`` is the reference's parameter tag (``DiodeClipper.cpp:5-7``);
+    ``api`` is how the parameter is driven through this framework:
+    the ``process_block`` keyword for block-rate params ("gain_db",
+    "cutoff_hz", "drive"), or "circuit" for the model choice (selected as
+    the circuit name passed to ``process_block`` — the TPU analogue of the
+    reference's root hot-swap).  ``skew_centre`` mirrors JUCE's
+    ``NormalisableRange::setSkewForCentre`` so a GUI can reproduce the
+    reference's log-feel cutoff slider.
+    """
 
     name: str
     kind: str  # "float" | "choice"
@@ -40,15 +50,79 @@ class ParamSpec:
     hi: float = 1.0
     default: float = 0.0
     choices: Tuple[str, ...] = ()
+    default_choice: int = 0
+    skew_centre: Optional[float] = None
+    api: str = ""
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["choices"] = list(self.choices)
+        return d
+
+
+def _cutoff_spec() -> ParamSpec:
+    # 200 Hz .. 20 kHz, skewed for centre 2 kHz, default 4 kHz
+    # (DiodeClipper.cpp:25-27, identical in MultiDiodeClipper/HPFDiodeClipper)
+    return ParamSpec("cutoff", "float", 200.0, 20000.0, 4000.0,
+                     skew_centre=2000.0, api="cutoff_hz")
+
+
+def clipper_param_specs(
+    choices: Tuple[str, ...] = (
+        "1N4148 Ideal", "1N4148 Approx", "1N4148 2x4", "1N4148 2x8",
+        "1N4148 2x16", "1N4148 4x4", "1N4148 4x8",
+    ),
+) -> Tuple[ParamSpec, ...]:
+    """The DiodeClipper parameter set (``DiodeClipper.cpp:20-31``):
+    gain 0..24 dB, skewed cutoff, 7-model choice."""
+    return (
+        ParamSpec("gain", "float", 0.0, 24.0, 0.0, api="gain_db"),
+        _cutoff_spec(),
+        ParamSpec("model", "choice", choices=tuple(choices), api="circuit"),
+    )
+
+
+def multi_diode_param_specs() -> Tuple[ParamSpec, ...]:
+    """MultiDiodeClipper parameters (``MultiDiodeClipper.cpp:20-31``):
+    same gain/cutoff as the clipper, 5 multi-diode-config models."""
+    return (
+        ParamSpec("gain", "float", 0.0, 24.0, 0.0, api="gain_db"),
+        _cutoff_spec(),
+        ParamSpec("model", "choice", choices=(
+            "1up/2down 2x16", "2up/2down 2x16", "1up/3down 2x16",
+            "2up/3down 2x16", "3up/3down 2x16",
+        ), api="circuit"),
+    )
+
+
+def tube_screamer_param_specs() -> Tuple[ParamSpec, ...]:
+    """TubeScreamer parameters (``TubeScreamer.cpp:21-29``):
+    gain -12..12 dB, drive 0..1 (default 0.5), 2-model choice."""
+    return (
+        ParamSpec("gain", "float", -12.0, 12.0, 0.0, api="gain_db"),
+        ParamSpec("drive", "float", 0.0, 1.0, 0.5, api="drive"),
+        ParamSpec("model", "choice",
+                  choices=("1N4148 Approx", "1N4148 2x16"), api="circuit"),
+    )
+
+
+def hpf_param_specs() -> Tuple[ParamSpec, ...]:
+    """HPFDiodeClipper parameters (``HPFDiodeClipper.cpp:21-31``):
+    gain/cutoff as the clipper, 4-model choice incl. the extrapolation
+    probe pair."""
+    return (
+        ParamSpec("gain", "float", 0.0, 24.0, 0.0, api="gain_db"),
+        _cutoff_spec(),
+        ParamSpec("model", "choice", choices=(
+            "1N4148 Ideal", "1N4148 Approx",
+            "1N4148 2x16 Extrapolated", "1N4148 2x16 Trained",
+        ), api="circuit"),
+    )
 
 
 def default_clipper_params() -> Tuple[ParamSpec, ...]:
-    """The DiodeClipper parameter set (``DiodeClipper.cpp:20-31``)."""
-    return (
-        ParamSpec("gain_db", "float", -18.0, 18.0, 0.0),
-        ParamSpec("cutoff_hz", "float", 200.0, 20000.0, 4000.0),
-        ParamSpec("model", "choice", choices=("toms", "approx", "neural")),
-    )
+    """Deprecated alias for :func:`clipper_param_specs`."""
+    return clipper_param_specs()
 
 
 def _dc_blocker_coeff(fs: float, f_hz: float = DC_BLOCKER_HZ) -> float:
@@ -64,12 +138,17 @@ class StreamingProcessor:
     """
 
     def __init__(self, circuits: Dict[str, Tuple[Circuit, Any]], fs: float,
-                 param_maps: Optional[Dict[str, Callable]] = None):
+                 param_maps: Optional[Dict[str, Callable]] = None,
+                 param_schemas: Optional[Dict[str, Tuple[ParamSpec, ...]]] = None):
         self.circuits = dict(circuits)
         self.fs = fs
         #: per-circuit mapping of block-rate params (cutoff_hz, drive, ...)
         #: to static controls {node: {field: value}} (setParameters parity)
         self.param_maps = param_maps or {}
+        #: per-circuit parameter schemas (GUI-reflection parity); factories
+        #: register the reference's exact schema per circuit, ad-hoc circuits
+        #: get a schema derived from their param_map signature
+        self.param_schemas = dict(param_schemas or {})
         self._fns: Dict[Tuple[str, int], Callable] = {}
         self._state: Dict[str, Any] = {
             name: ckt.init_state() for name, (ckt, _) in circuits.items()
@@ -81,7 +160,33 @@ class StreamingProcessor:
 
     # -- parameter schema (GUI reflection parity) --------------------------
     def param_specs(self, name: str) -> Tuple[ParamSpec, ...]:
-        return default_clipper_params()
+        """The parameter schema of circuit ``name`` — the TPU-side analogue
+        of the reference's auto-generated GUI (``CircuitModelGUI.cpp:55-66``
+        reflects over each circuit's paramTags; here a GUI/CLI reflects over
+        these specs).  Registered schemas come from the circuit factories;
+        unregistered circuits derive a schema from their param_map signature
+        so every circuit exposes something renderable."""
+        if name not in self.circuits:
+            raise KeyError(
+                f"unknown circuit {name!r}; have {sorted(self.circuits)}"
+            )
+        if name in self.param_schemas:
+            return self.param_schemas[name]
+        import inspect
+
+        specs = [ParamSpec("gain", "float", 0.0, 24.0, 0.0, api="gain_db")]
+        mapper = self.param_maps.get(name)
+        if mapper is not None:
+            for arg in inspect.signature(mapper).parameters:
+                if arg == "cutoff_hz":
+                    specs.append(_cutoff_spec())
+                elif arg == "drive":
+                    specs.append(
+                        ParamSpec("drive", "float", 0.0, 1.0, 0.5, api="drive")
+                    )
+                else:
+                    specs.append(ParamSpec(arg, "float", api=arg))
+        return tuple(specs)
 
     @property
     def load(self) -> float:
@@ -220,8 +325,10 @@ def make_clipper_processor(
     def clipper_map(cutoff_hz):
         return {"Vs": {"R": cutoff_to_resistance(cutoff_hz, cap)}}
 
+    specs = clipper_param_specs(choices=tuple(circuits))
     return StreamingProcessor(
-        circuits, fs, param_maps={m: clipper_map for m in circuits}
+        circuits, fs, param_maps={m: clipper_map for m in circuits},
+        param_schemas={m: specs for m in circuits},
     )
 
 
@@ -258,8 +365,10 @@ def make_hpf_processor(
     def hpf_map(cutoff_hz):
         return {"R": {"R": cutoff_to_resistance(cutoff_hz, cap)}}
 
+    specs = hpf_param_specs()
     return StreamingProcessor(
-        circuits, fs, param_maps={n: hpf_map for n in circuits}
+        circuits, fs, param_maps={n: hpf_map for n in circuits},
+        param_schemas={n: specs for n in circuits},
     )
 
 
@@ -334,4 +443,11 @@ def make_plugin_processor(
     circuits["tube_screamer"] = (ts, {**ts.init_params(), **ts_frag})
     param_maps["tube_screamer"] = lambda drive: {"R6": {"R": drive_to_r6(drive)}}
 
-    return StreamingProcessor(circuits, fs, param_maps=param_maps)
+    return StreamingProcessor(
+        circuits, fs, param_maps=param_maps,
+        param_schemas={
+            "clipper": clipper_param_specs(),
+            "multi_diode_clipper": multi_diode_param_specs(),
+            "tube_screamer": tube_screamer_param_specs(),
+        },
+    )

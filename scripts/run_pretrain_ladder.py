@@ -15,6 +15,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# LADDER_PLATFORM=cpu forces CPU before any other jax call (the axon
+# sitecustomize overrides JAX_PLATFORMS, so a config update is required).
+# The reference itself trained on CPU f32; parity accuracy is identical to a
+# TPU run at matmul_precision="highest".
+_platform = os.environ.get("LADDER_PLATFORM")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
+
 from diffwdf_tpu.nn.serialization import save_model_json
 from diffwdf_tpu.roots.diode import ALL_1N4148, diode_1n4148_1u1d
 from diffwdf_tpu.training.pretrain import (
@@ -77,6 +85,8 @@ def main():
             "epochs": epochs,
             "seeds": n_seeds,
             "best_seed": seed,
+            "platform": jax.default_backend(),
+            "matmul_precision": cfg.matmul_precision,
             "train_seconds": round(dt, 1),
             "mse": final["mse"],
             "esr": final["esr"],

