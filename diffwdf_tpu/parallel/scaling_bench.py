@@ -1,0 +1,159 @@
+"""Scaling-efficiency evidence harness (BASELINE.json acceptance: >= 80 %
+scaling efficiency; the reference has no distributed execution at all,
+SURVEY.md §2.4).
+
+Two weak-scaling curves over a device mesh:
+
+- **DP training**: the flagship circuit-training step (gradient psum over the
+  mesh "data" axis, ``parallel/data_parallel.py``) with a fixed number of
+  sequence chunks *per device* — perfect scaling keeps step time flat as
+  devices (and total chunks) grow.
+- **Time-block decode**: overlap-save long-signal processing
+  (``parallel/time_block.py``) with a fixed signal length *per device* on the
+  mesh "time" axis.
+
+Both run anywhere a mesh exists: the real multi-chip pod, or the 8-virtual-
+device CPU mesh used by the test suite.  On a virtual mesh the efficiency is
+bounded by the *physical* core count (the JSON records both), so virtual
+numbers validate the sharding structure (no hidden serialization, collectives
+in place), not ICI bandwidth.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .distributed import measure_scaling
+from .mesh import make_mesh
+
+
+def dp_training_scaling(
+    device_counts: Sequence[int] = (1, 2, 4, 8),
+    chunks_per_device: int = 4,
+    batch_size: int = 256,
+    fs: float = 8000.0,
+    iters: int = 5,
+) -> Dict[int, Dict[str, float]]:
+    """Weak-scaling curve for the DP circuit-training step."""
+    from ..data.synthetic import synth_clipper_measurement
+    from ..models.diode_clipper import make_training_clipper
+    from ..parallel.data_parallel import make_dp_train_step
+    from ..roots.neural import NeuralDiodeRoot
+    from ..training.circuit_train import CircuitTrainConfig, make_clipper_batches
+
+    diode_r = 45e3
+    max_n = max(device_counts)
+    need_s = (max_n * chunks_per_device * batch_size + batch_size) / fs
+    import diffwdf_tpu as dwdf
+
+    vin, vout = synth_clipper_measurement(
+        dwdf.diode_1n4148_1u1d, diode_r, fs=fs, duration_s=need_s
+    )
+    data = {"x": vin, "r": np.full_like(vin, diode_r), "y": vout}
+
+    root = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=16)
+    ckt = make_training_clipper(root, fs)
+    params0 = {**ckt.init_params(), **root.init_params(jax.random.PRNGKey(0))}
+
+    def make_step(mesh):
+        n = mesh.devices.size
+        cfg = CircuitTrainConfig(
+            batch_size=batch_size, max_chunks=n * chunks_per_device
+        )
+        batches = make_clipper_batches(data, cfg.batch_size, cfg.max_chunks)
+        opt, dp_step, _, prepare = make_dp_train_step(ckt, cfg, mesh)
+        s0 = opt.init(params0)
+        p, s, bsh = prepare(params0, s0, batches)
+
+        def step():
+            _, _, m = dp_step(p, s, bsh)
+            return m
+
+        return step
+
+    return measure_scaling(
+        make_step,
+        device_counts,
+        iters=iters,
+        items_per_call=chunks_per_device * batch_size,
+    )
+
+
+def time_block_scaling(
+    device_counts: Sequence[int] = (1, 2, 4, 8),
+    t_per_device: int = 16384,
+    warmup: int = 256,
+    fs: float = 48000.0,
+    iters: int = 5,
+) -> Dict[int, Dict[str, float]]:
+    """Weak-scaling curve for overlap-save time-block decode."""
+    import diffwdf_tpu as dwdf
+    from ..models.diode_clipper import make_diode_clipper
+    from ..parallel.time_block import time_block_process
+
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    ckt = make_diode_clipper(root, fs)
+    params = {**ckt.init_params(), **root.init_params()}
+
+    results: Dict[int, Dict[str, float]] = {}
+    base = None
+    for n in device_counts:
+        if n > len(jax.devices()):
+            continue
+        mesh = make_mesh((1, n), ("data", "time"), devices=jax.devices()[:n])
+        T = n * t_per_device
+        x = np.random.default_rng(0).normal(size=T).astype(np.float32)
+        inputs = {"Vs": {"v": jnp.asarray(x)}}
+
+        @jax.jit
+        def fn(inp):
+            return time_block_process(ckt, params, inp, mesh, warmup=warmup)
+
+        fn(inputs).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(inputs)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        rec = {"mean_s": dt, "samples_per_s": T / dt}
+        if base is None:
+            base = (n, dt)
+        rec["efficiency"] = base[1] / dt if dt > 0 else 0.0
+        results[n] = rec
+    return results
+
+
+def run_scaling_suite(
+    device_counts: Sequence[int] = (1, 2, 4, 8), iters: int = 5
+) -> Dict:
+    """Full scaling evidence: both curves + environment provenance."""
+    import os
+
+    env = {
+        "backend": jax.default_backend(),
+        "n_devices": len(jax.devices()),
+        "device0": str(jax.devices()[0]),
+        "physical_cores": os.cpu_count(),
+        "virtual_mesh": jax.default_backend() == "cpu",
+    }
+    note = None
+    if env["virtual_mesh"]:
+        note = (
+            "Virtual CPU mesh: all devices share "
+            f"{env['physical_cores']} physical cores, so weak-scaling "
+            "efficiency is bounded by cores/devices — these curves validate "
+            "the sharding structure (collectives present, one compile, flat "
+            "per-device work), not interconnect bandwidth. Real multi-chip "
+            "measurement requires a pod slice."
+        )
+    return {
+        "env": env,
+        "note": note,
+        "dp_training": dp_training_scaling(device_counts, iters=iters),
+        "time_block": time_block_scaling(device_counts, iters=iters),
+    }
