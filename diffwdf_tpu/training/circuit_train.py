@@ -227,6 +227,85 @@ def train_clipper(
     return params, history
 
 
+def joint_fit_clipper(
+    circuit: Circuit,
+    params,
+    train_batches,
+    component_lrs: Dict[str, float],
+    cfg: CircuitTrainConfig = CircuitTrainConfig(),
+    mlp_lr: Optional[float] = None,
+):
+    """Joint physics+neural training: learn component values (R/C, clip-
+    constrained per element bounds) AND the neural root weights in-circuit,
+    simultaneously.
+
+    The reference has two disjoint workloads — neural-root training with
+    frozen components (``clipper_pot.py:245-269``) and component fitting with
+    an analytic root (``lpf.py:79-99``) — but never combines them; fully
+    differentiable physics makes the combination one optimizer call here.
+    ``component_lrs`` maps "Node.field" (e.g. "Vs.R", "C.C") to per-parameter
+    Adam learning rates (the reference's separate-optimizers trick); the
+    neural root subtree trains at ``mlp_lr`` (default cfg.learning_rate);
+    everything else is frozen.
+
+    Returns (params, history) where history carries loss/mse/esr plus the
+    per-epoch trajectory of every fitted component value.
+    """
+    mlp_lr = cfg.learning_rate if mlp_lr is None else mlp_lr
+    root_name = circuit.root.name
+
+    def label_of(path):
+        key = ".".join(str(getattr(p, "key", p)) for p in path)
+        if key.startswith(root_name + ".") or key == root_name:
+            return "mlp"
+        # component params are two levels: Node.field
+        two = ".".join(key.split(".")[:2])
+        return two if two in component_lrs else "frozen"
+
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, x: label_of(p), params
+    )
+    transforms = {
+        k: optax.adam(lr, b1=cfg.beta1) for k, lr in component_lrs.items()
+    }
+    transforms["mlp"] = optax.adam(mlp_lr, b1=cfg.beta1)
+    transforms["frozen"] = optax.set_to_zero()
+    opt = optax.multi_transform(transforms, labels)
+    opt_state = opt.init(params)
+
+    emphasis = (lambda t: pre_emphasis(t, axis=1)) if cfg.use_pre_emphasis else None
+
+    def loss_fn(p, batches):
+        outs = clipper_forward(circuit, p, batches, cfg.checkpoint_scan,
+                               cfg.unroll)
+        o = outs[:, cfg.skip_samples:]
+        t = batches["y"][:, cfg.skip_samples:]
+        if emphasis is not None:
+            o, t = emphasis(o), emphasis(t)
+        m = mse(t, o)
+        e = esr(t, o)
+        return m + e, {"mse": m, "esr": e}
+
+    @jax.jit
+    def step(p, s, batches):
+        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(p, batches)
+        updates, s = opt.update(g, s, p)
+        p = optax.apply_updates(p, updates)
+        p = circuit.constrain(p)  # element bounds (R in [180, 1e6] etc.)
+        return p, s, {"loss": loss, **aux}
+
+    history = {"loss": [], "mse": [], "esr": []}
+    history.update({k: [] for k in component_lrs})
+    for _ in range(cfg.epochs):
+        params, opt_state, m = step(params, opt_state, train_batches)
+        for k in ("loss", "mse", "esr"):
+            history[k].append(float(m[k]))
+        for k in component_lrs:
+            node, field = k.split(".", 1)
+            history[k].append(float(params[node][field]))
+    return params, history
+
+
 # ---------------------------------------------------------------------------
 # Simple-circuit component fitting (the reference's sanity workloads)
 # ---------------------------------------------------------------------------
