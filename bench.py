@@ -320,12 +320,58 @@ def main():
     def pint_single(v):
         return parallel_time_process(ckt_a, pa, {"Vs": {"v": v}}, n_iters=12)
 
+    from diffwdf_tpu.ops.parallel_time_deer import fused_deer_clipper
+
+    @jax.jit
+    def deer_single(v):
+        out, _ = fused_deer_clipper(
+            v, r_src, cap, diode.Is, vt, diode.N_up, diode.N_down,
+            fs=fs, sweeps=8, relax_passes=2,
+        )
+        return out
+
     dt_seq = _timeit(seq_single, xs_single, n=30)
     dt_pint = _timeit(pint_single, xs_single, n=30)
+    dt_deer = _timeit(deer_single, xs_single, n=30)
+    # parity evidence alongside the timing
+    deer_err = float(
+        jnp.max(jnp.abs(deer_single(xs_single[0]) - seq_single(xs_single[0])))
+    )
     details["single_stream_T16384"] = {
         "sequential_ms": dt_seq * 1e3,
         "parallel_in_time_ms": dt_pint * 1e3,
-        "speedup": dt_seq / dt_pint,
+        "deer_fused_ms": dt_deer * 1e3,
+        "speedup_xla_deer": dt_seq / dt_pint,
+        "speedup_fused_deer": dt_seq / dt_deer,
+        "fused_max_abs_err": deer_err,
+    }
+
+    # plugin-block regime (diode_clipper_bench.cpp:7-9: block 2048)
+    T2 = 2048
+    xs_blk = [
+        jr.normal(jr.fold_in(key, 200 + i), (T2,), jnp.float32) * 2
+        for i in range(4)
+    ]
+
+    @jax.jit
+    def seq_blk(v):
+        out, _ = ckt_a.process(pa, st, {"Vs": {"v": v}}, unroll=8)
+        return out
+
+    @jax.jit
+    def deer_blk(v):
+        out, _ = fused_deer_clipper(
+            v, r_src, cap, diode.Is, vt, diode.N_up, diode.N_down,
+            fs=fs, sweeps=8, relax_passes=2,
+        )
+        return out
+
+    dt_seq2 = _timeit(seq_blk, xs_blk, n=30)
+    dt_deer2 = _timeit(deer_blk, xs_blk, n=30)
+    details["single_stream_T2048"] = {
+        "sequential_ms": dt_seq2 * 1e3,
+        "deer_fused_ms": dt_deer2 * 1e3,
+        "speedup_fused_deer": dt_seq2 / dt_deer2,
     }
 
     # --- CPU baseline: native C++ per-sample engine (the reference's

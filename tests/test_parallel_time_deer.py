@@ -1,0 +1,98 @@
+"""Fully-fused parallel-in-time DEER kernel (ops.parallel_time_deer).
+
+Interpret mode on CPU; the identical kernel compiles for TPU (benchmarked in
+bench.py's single-stream entry).  Parity target: the sequential
+``circuit.process`` scan, the same oracle the XLA DEER path
+(``ops.parallel_time``) is held to.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import diffwdf_tpu as dwdf
+from diffwdf_tpu.models.diode_clipper import make_diode_clipper
+from diffwdf_tpu.ops.parallel_time_deer import fused_deer_clipper
+
+FS = 96000.0
+R_SRC, CAP = 47.0e3, 2.2e-9
+
+
+def _ckt(diode):
+    root = dwdf.DiodePairRoot(name="dp", diode=diode, quality="best")
+    ckt = make_diode_clipper(root, FS, R_SRC, CAP)
+    return ckt, {**ckt.init_params(), **root.init_params()}
+
+
+def _run(ckt, params, vin):
+    out, _ = ckt.process(params, ckt.init_state(), {"Vs": {"v": vin}})
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("T", [2048, 16384])
+def test_matches_sequential_scan(T):
+    d = dwdf.diode_1n4148_1u1d
+    ckt, params = _ckt(d)
+    rng = np.random.default_rng(3)
+    vin = jnp.asarray((2.0 * rng.standard_normal(T)).astype(np.float32))
+    ref = _run(ckt, params, vin)
+    out, zf = fused_deer_clipper(
+        vin, R_SRC, CAP, d.Is, d.Vt * d.nabla, d.N_up, d.N_down,
+        fs=FS, interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-6
+    assert np.isfinite(float(zf))
+
+
+def test_hard_overdrive_converges():
+    """amp-10 drive: the undamped XLA DEER path diverges here; the fused
+    solver's relaxation warm-start + iterate clamp keep Newton in its basin."""
+    d = dwdf.diode_1n4148_1u1d
+    ckt, params = _ckt(d)
+    rng = np.random.default_rng(1)
+    vin = jnp.asarray((10.0 * rng.standard_normal(16384)).astype(np.float32))
+    ref = _run(ckt, params, vin)
+    out, _ = fused_deer_clipper(
+        vin, R_SRC, CAP, d.Is, d.Vt * d.nabla, d.N_up, d.N_down,
+        fs=FS, sweeps=8, relax_passes=4, interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(out - ref))) < 2e-6
+
+
+def test_multi_diode_config():
+    d = dwdf.diode_1n4148_3u3d
+    ckt, params = _ckt(d)
+    rng = np.random.default_rng(5)
+    vin = jnp.asarray((2.0 * rng.standard_normal(2048)).astype(np.float32))
+    ref = _run(ckt, params, vin)
+    out, _ = fused_deer_clipper(
+        vin, R_SRC, CAP, d.Is, d.Vt * d.nabla, d.N_up, d.N_down,
+        fs=FS, interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-6
+
+
+def test_streaming_state_continuity():
+    """z_final of one call seeds z0 of the next: two chained 1024-blocks
+    equal one 2048 solve (the plugin's block-streaming contract)."""
+    d = dwdf.diode_1n4148_1u1d
+    rng = np.random.default_rng(7)
+    vin = (2.0 * rng.standard_normal(2048)).astype(np.float32)
+    kw = dict(fs=FS, interpret=True)
+    args = (R_SRC, CAP, d.Is, d.Vt * d.nabla, d.N_up, d.N_down)
+    full, _ = fused_deer_clipper(jnp.asarray(vin), *args, **kw)
+    a, za = fused_deer_clipper(jnp.asarray(vin[:1024]), *args, **kw)
+    b, _ = fused_deer_clipper(jnp.asarray(vin[1024:]), *args,
+                              z0=float(za), **kw)
+    chained = np.concatenate([np.asarray(a), np.asarray(b)])
+    np.testing.assert_allclose(chained, np.asarray(full), atol=2e-6)
+
+
+def test_rejects_bad_length():
+    d = dwdf.diode_1n4148_1u1d
+    with pytest.raises(AssertionError):
+        fused_deer_clipper(
+            jnp.zeros(1000), R_SRC, CAP, d.Is, d.Vt * d.nabla, 1.0, 1.0,
+            fs=FS, interpret=True,
+        )
