@@ -22,6 +22,12 @@ import numpy as np
 _RTT = None
 
 
+def _p(msg):
+    """Liveness/progress line (stderr): lets the tpu_run watchdog tell a
+    long kernel compile apart from a wedged chip claim."""
+    print(f"# bench: {msg}", file=sys.stderr, flush=True)
+
+
 def _measure_rtt():
     """One tunnel round trip (tiny compute + scalar fetch).  The chip sits
     behind a network tunnel where ``block_until_ready`` does NOT round-trip,
@@ -91,6 +97,7 @@ def main():
     B, T = 8192, 2048
 
     details = {"config": {"fs": fs, "B": B, "T": T, "backend": str(jax.devices())}}
+    _p(f"devices {jax.devices()}")
 
     key = jr.PRNGKey(0)
     vins = [jr.normal(jr.fold_in(key, i), (B, T), jnp.float32) * 2 for i in range(4)]
@@ -98,6 +105,7 @@ def main():
         v.block_until_ready()
     z0 = jnp.zeros((B,), jnp.float32)
 
+    _p("neural 2x16")
     # --- neural 2x16 (flagship) -------------------------------------------
     nroot = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=16)
     nparams = nroot.init_params(jr.PRNGKey(0))
@@ -302,6 +310,7 @@ def main():
         "samples_per_s": n_seq_f * T_tr / dt_train_f,
     }
 
+    _p("single-stream parallel-in-time")
     # --- single-stream latency regime: sequential scan vs parallel-in-time
     from diffwdf_tpu.ops.parallel_time import parallel_time_process
 
@@ -346,6 +355,7 @@ def main():
         "fused_max_abs_err": deer_err,
     }
 
+    _p("single-stream T=2048")
     # plugin-block regime (diode_clipper_bench.cpp:7-9: block 2048)
     T2 = 2048
     xs_blk = [
@@ -367,13 +377,16 @@ def main():
         return out
 
     dt_seq2 = _timeit(seq_blk, xs_blk, n=30)
-    dt_deer2 = _timeit(deer_blk, xs_blk, n=30)
+    # the fused solve at T=2048 is microseconds; pipeline thousands of
+    # dispatches so the total clears the tunnel RTT jitter
+    dt_deer2 = _timeit(deer_blk, xs_blk, n=3000)
     details["single_stream_T2048"] = {
         "sequential_ms": dt_seq2 * 1e3,
         "deer_fused_ms": dt_deer2 * 1e3,
         "speedup_fused_deer": dt_seq2 / dt_deer2,
     }
 
+    _p("cpu baselines")
     # --- CPU baseline: native C++ per-sample engine (the reference's
     # architecture: single-threaded sample loop, RTNeural-style MLP) ---------
     from diffwdf_tpu.native import lib as native

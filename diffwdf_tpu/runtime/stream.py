@@ -139,7 +139,8 @@ class StreamingProcessor:
 
     def __init__(self, circuits: Dict[str, Tuple[Circuit, Any]], fs: float,
                  param_maps: Optional[Dict[str, Callable]] = None,
-                 param_schemas: Optional[Dict[str, Tuple[ParamSpec, ...]]] = None):
+                 param_schemas: Optional[Dict[str, Tuple[ParamSpec, ...]]] = None,
+                 process_overrides: Optional[Dict[str, Callable]] = None):
         self.circuits = dict(circuits)
         self.fs = fs
         #: per-circuit mapping of block-rate params (cutoff_hz, drive, ...)
@@ -149,6 +150,11 @@ class StreamingProcessor:
         #: register the reference's exact schema per circuit, ad-hoc circuits
         #: get a schema derived from their param_map signature
         self.param_schemas = dict(param_schemas or {})
+        #: per-circuit replacement for ``Circuit.process`` inside the block
+        #: fn — e.g. the fused parallel-in-time solver as a low-latency
+        #: serving engine; signature (params, state, inputs, static_controls)
+        #: -> (out, state)
+        self.process_overrides = dict(process_overrides or {})
         self._fns: Dict[Tuple[str, int], Callable] = {}
         self._state: Dict[str, Any] = {
             name: ckt.init_state() for name, (ckt, _) in circuits.items()
@@ -203,14 +209,21 @@ class StreamingProcessor:
 
             node = "Vin" if "Vin" in ckt.init_params() else "Vs"  # drive node
 
+            override = self.process_overrides.get(name)
+
             @jax.jit
             def fn(params, state, dc_state, vin, gain0, gain1, static_controls):
                 t = (jnp.arange(block_len) + 1.0) / block_len
                 g = gain0 + (gain1 - gain0) * t  # per-sample gain ramp
-                out, state = ckt.process(
-                    params, state, {node: {"v": vin * g}},
-                    static_controls=static_controls,
-                )
+                if override is not None:
+                    out, state = override(
+                        params, state, {node: {"v": vin * g}}, static_controls
+                    )
+                else:
+                    out, state = ckt.process(
+                        params, state, {node: {"v": vin * g}},
+                        static_controls=static_controls,
+                    )
 
                 def dc_step(carry, x):
                     x1, y1 = carry
@@ -285,9 +298,16 @@ def make_clipper_processor(
     cutoff_hz: float = 4000.0,
     models: Tuple[str, ...] = ("toms", "approx", "neural_2x16"),
     mlp_json: Optional[str] = None,
+    engine: str = "scan",
 ) -> StreamingProcessor:
     """Build the reference plugin's circuit set: diode clipper under all
-    root models, with cutoff mapped to source resistance."""
+    root models, with cutoff mapped to source resistance.
+
+    engine="deer" serves the analytic circuits ("toms"/"approx") through the
+    fused parallel-in-time kernel (``ops.parallel_time_deer`` — the whole
+    block solved in one kernel launch, ~2 orders of magnitude lower latency
+    than the sequential scan on TPU) whenever the block length is a multiple
+    of 1024; other block sizes and the neural root fall back to the scan."""
     import diffwdf_tpu as dwdf
     from ..models.diode_clipper import cutoff_to_resistance, make_diode_clipper
     from ..nn.serialization import load_model_json
@@ -325,10 +345,42 @@ def make_clipper_processor(
     def clipper_map(cutoff_hz):
         return {"Vs": {"R": cutoff_to_resistance(cutoff_hz, cap)}}
 
+    overrides = {}
+    if engine == "deer":
+        from ..ops.parallel_time_deer import fused_deer_clipper
+
+        sweeps_of = {"toms": 8, "approx": 4}  # quality knob parity
+
+        def make_deer(ckt, sweeps):
+            def run(params, state, inputs, static_controls):
+                v = inputs["Vs"]["v"]
+                if v.shape[0] % 1024:  # static shape: clean trace-time fallback
+                    return ckt.process(
+                        params, state, inputs, static_controls=static_controls
+                    )
+                r = (static_controls or {}).get("Vs", {}).get(
+                    "R", params["Vs"]["R"]
+                )
+                d = params["dp"]
+                out, zf = fused_deer_clipper(
+                    v, r, params["C"]["C"], d["Is"], d["Vt"] * d["nabla"],
+                    d["N_up"], d["N_down"], fs=fs,
+                    z0=state["C"]["z"], sweeps=sweeps,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return out, {"C": {"z": zf}}
+
+            return run
+
+        for m in circuits:
+            if m in sweeps_of:
+                overrides[m] = make_deer(circuits[m][0], sweeps_of[m])
+
     specs = clipper_param_specs(choices=tuple(circuits))
     return StreamingProcessor(
         circuits, fs, param_maps={m: clipper_map for m in circuits},
         param_schemas={m: specs for m in circuits},
+        process_overrides=overrides,
     )
 
 

@@ -96,3 +96,25 @@ def test_rejects_bad_length():
             jnp.zeros(1000), R_SRC, CAP, d.Is, d.Vt * d.nabla, 1.0, 1.0,
             fs=FS, interpret=True,
         )
+
+
+def test_streaming_processor_deer_engine():
+    """engine='deer' serves the analytic clipper through the fused kernel:
+    output matches the scan-engine processor block-for-block (gain ramp,
+    cutoff param, DC blocker and carried state all identical)."""
+    from diffwdf_tpu.runtime.stream import make_clipper_processor
+
+    fs = 48000.0
+    rng = np.random.default_rng(11)
+    x = (1.5 * rng.standard_normal(4096)).astype(np.float32)
+    p_scan = make_clipper_processor(fs, models=("toms",))
+    p_deer = make_clipper_processor(fs, models=("toms",), engine="deer")
+    for blk in (0, 1):
+        a = p_scan.process_block(x[blk * 2048:(blk + 1) * 2048], "toms",
+                                 gain_db=6.0, cutoff_hz=3000.0)
+        b = p_deer.process_block(x[blk * 2048:(blk + 1) * 2048], "toms",
+                                 gain_db=6.0, cutoff_hz=3000.0)
+        np.testing.assert_allclose(a, b, atol=5e-6)
+    # non-multiple-of-1024 blocks fall back to the scan transparently
+    c = p_deer.process_block(x[:1000], "toms")
+    assert np.all(np.isfinite(c))
