@@ -376,6 +376,33 @@ def main():
         )
         return out
 
+    # Tube Screamer single-stream (S=3 states): generic fused DEER kernel
+    from diffwdf_tpu.ops.deer_circuit import fused_deer_circuit
+
+    @jax.jit
+    def ts_seq_single(v):
+        out, _ = ts.process(ts_params, ts.init_state(), {"Vin": {"v": v}},
+                            unroll=8)
+        return out
+
+    def ts_deer_single(v):
+        out, _ = fused_deer_circuit(ts, ts_params, v, input_node="Vin",
+                                    sweeps=8, relax_passes=2)
+        return out
+
+    _p("tube screamer single-stream")
+    dt_ts_seq = _timeit(ts_seq_single, xs_single, n=30)
+    dt_ts_deer = _timeit(ts_deer_single, xs_single, n=30)
+    ts_err = float(
+        jnp.max(jnp.abs(ts_deer_single(xs_single[0]) - ts_seq_single(xs_single[0])))
+    )
+    details["ts_single_stream_T16384"] = {
+        "sequential_ms": dt_ts_seq * 1e3,
+        "deer_fused_ms": dt_ts_deer * 1e3,
+        "speedup_fused_deer": dt_ts_seq / dt_ts_deer,
+        "fused_max_abs_err": ts_err,
+    }
+
     dt_seq2 = _timeit(seq_blk, xs_blk, n=30)
     # the fused solve at T=2048 is microseconds; pipeline thousands of
     # dispatches so the total clears the tunnel RTT jitter

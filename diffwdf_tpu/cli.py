@@ -129,8 +129,12 @@ def cmd_train_clipper(args):
         max_chunks=args.max_chunks,
         engine=args.engine,
     )
-    tb = make_clipper_batches(train, cfg.batch_size, cfg.max_chunks)
-    vb = make_clipper_batches(val, cfg.batch_size, cfg.max_chunks) if len(val["x"]) else None
+    drop_mixed = args.engine == "fused"  # file-boundary chunks can't hoist R
+    tb = make_clipper_batches(train, cfg.batch_size, cfg.max_chunks,
+                              drop_mixed_r=drop_mixed)
+    vb = (make_clipper_batches(val, cfg.batch_size, cfg.max_chunks,
+                               drop_mixed_r=drop_mixed)
+          if len(val["x"]) else None)
 
     logger = MetricsLogger(args.log or "train_clipper.jsonl", print_every=args.log_every)
 

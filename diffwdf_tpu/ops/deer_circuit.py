@@ -1,0 +1,301 @@
+"""Generic fused parallel-in-time solver: ANY `Circuit`, one Pallas kernel.
+
+``ops.parallel_time_deer`` hand-derives the LPF clipper's scalar step and
+Jacobian; this module generalizes the same fused-DEER design to arbitrary
+adapted WDF trees (multiple reactive states S, series/parallel/R-type
+adaptors, analytic roots) the way ``ops.fused_circuit`` generalizes the
+forward kernels: the circuit's own pure ``step`` (up-traversal, root solve,
+down-traversal) is traced inside the kernel body, and its state Jacobian
+columns come from S ``jax.jvp`` passes — the omega root's implicit
+``custom_jvp`` keeps those passes cheap and exact.
+
+Each Newton sweep solves the linearized time-varying recurrence
+z_t = J_t z_{t-1} + c_t (J_t now an S x S matrix held as S^2 vector
+registers) with the same blocked VMEM prefix composition: time tiled as
+(L, 8, 128) = 1024 blocks, L sequential full-vector composition steps,
+log2(1024) lane/sublane roll doublings, one elementwise fix-up.  Nonlinear
+block-relaxation warm-up passes and an iterate clamp keep hard drive inside
+the Newton basin.  The whole solve — every sweep — is ONE kernel launch.
+
+This is the single-stream latency path for the complex-topology circuits
+(Tube Screamer's 4-port R-type stage ``TubeScreamer.cpp:43-56``, the HPF
+clipper ``HPFDiodeClipper.cpp:44-55``) that the clipper-only kernel can't
+serve.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_circuit import _classify_leaves, _rebuild_leaves
+
+_SUB, _LANE = 8, 128
+_NB = _SUB * _LANE
+
+
+def _pack_time(x, L):
+    return x.reshape(_SUB, _LANE, L).transpose(2, 0, 1)
+
+
+def _unpack_time(y, T):
+    return y.transpose(1, 2, 0).reshape(T)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("circuit", "input_node", "sweeps", "relax_passes",
+                     "damping", "interpret"),
+)
+def fused_deer_circuit(
+    circuit,
+    params,
+    vin,
+    *,
+    input_node: str = "Vin",
+    static_controls: Optional[Dict[str, Dict[str, Any]]] = None,
+    state0=None,
+    sweeps: int = 8,
+    relax_passes: int = 2,
+    damping: float = 1.0,
+    interpret: bool = False,
+):
+    """Solve ``circuit``'s full sample recursion on one stream, parallel in
+    time, inside one Pallas kernel.
+
+    vin: (T,) float32, T a multiple of 1024.  Returns (out (T,), final state
+    pytree).  Semantics match ``circuit.process`` with hoisted adaptation
+    (block-rate impedance controls via ``static_controls``) to solver
+    tolerance (~1e-6 at the defaults for audio-range drive).
+
+    damping: Newton step fraction.  1.0 (full Newton) is right for
+    contractive circuits (LPF clipper, Tube Screamer); circuits with a
+    marginal slow state mode (the HPF clipper's series capacitor,
+    |df/dz| -> 1) make undamped Newton-over-trajectory oscillate — use
+    damping=0.5 with ~3x the sweeps there (reaches ~1e-4, the f32 limit of
+    the marginal mode).
+    """
+    (T,) = vin.shape
+    assert T % _NB == 0, f"T={T} must be a multiple of {_NB}"
+    L = T // _NB
+
+    if state0 is None:
+        state0 = circuit.init_state()
+    coeffs = circuit.adapt(params, static_controls or {})
+    bundle = (coeffs, params, static_controls or {})
+    leaves, treedef = jax.tree_util.tree_flatten(bundle)
+    vec, specs = _classify_leaves(leaves)
+
+    s_leaves, s_treedef = jax.tree_util.tree_flatten(state0)
+    S = len(s_leaves)
+    assert S >= 1, "stateless circuits don't need a parallel-in-time solve"
+    s0_vals = [jnp.asarray(l, jnp.float32).reshape(()) for l in s_leaves]
+    sc = jnp.stack(list(vec) + s0_vals).astype(jnp.float32)[None, :]
+    n_sc = len(vec)
+
+    x = _pack_time(vin.astype(jnp.float32), L)
+
+    def kernel(sc_ref, in_ref, out_ref, zf_ref, z_scr, jp_scr, cp_scr):
+        rebuilt = _rebuild_leaves(sc_ref, specs)
+        coeffs_k, params_k, static_k = jax.tree_util.tree_unflatten(
+            treedef, rebuilt
+        )
+        s0 = [sc_ref[0, n_sc + k] for k in range(S)]
+
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+        # loose divergence backstop only: unlike the clipper kernel, generic
+        # circuits (op-amp stages) legitimately amplify internal states far
+        # beyond the input range, so the clamp sits 100x above it
+        v_bound = 100.0 * (jnp.max(jnp.abs(in_ref[...])) + 1.0)
+
+        def step_fn(st_vec, v):
+            """One circuit step on the (8,128) tile: S state values in,
+            S out, plus the probe output."""
+            st = jax.tree_util.tree_unflatten(s_treedef, list(st_vec))
+            controls = {k: dict(vv) for k, vv in static_k.items()}
+            controls.setdefault(input_node, {})
+            controls[input_node]["v"] = v
+            waves: Dict[str, Any] = {}
+            a_root = circuit.tree.reflected(coeffs_k, st, controls, waves)
+            r_up = coeffs_k[circuit.tree.name]["R"]
+            b_root = circuit.root.reflect(a_root, r_up, params_k, controls)
+            new_entries = circuit.tree.incident(
+                coeffs_k, st, controls, waves, b_root
+            )
+            new_state = {**st, **new_entries}
+            waves[circuit.root.name] = (a_root, b_root)
+            out_leaves = jax.tree_util.tree_leaves(new_state)[:S]
+            return list(out_leaves), circuit.probe(waves)
+
+        def f_and_jac(st_vec, v):
+            """Step outputs f (list of S) and Jacobian columns J[:,k] via S
+            jvp passes (implicit omega jvp keeps each pass one extra
+            elementwise sweep)."""
+            f, _ = step_fn(st_vec, v)
+            cols = []
+            for k in range(S):
+                tangents = [
+                    jnp.full_like(st_vec[0], 1.0 if i == k else 0.0)
+                    for i in range(S)
+                ]
+                _, (df, _) = jax.jvp(
+                    lambda sv: step_fn(sv, v), (st_vec,), (tangents,)
+                )
+                cols.append(df)  # df[i] = dF_i/dz_k
+            # J[i][k]
+            J = [[cols[k][i] for k in range(S)] for i in range(S)]
+            return f, J
+
+        def prev_of():
+            """Block-start state guesses from the current trajectory."""
+            out = []
+            for k in range(S):
+                last = z_scr[L - 1, k]
+                lane_r = pltpu.roll(last, 1, 1)
+                cross = pltpu.roll(lane_r, 1, 0)
+                first = jnp.where(lane_i == 0, cross, lane_r)
+                out.append(jnp.where((lane_i == 0) & (sub_i == 0),
+                                     s0[k], first))
+            return out
+
+        def mat_compose(Jb, cb, Ja, ca):
+            """(Jb, cb) AFTER (Ja, ca): J = Jb Ja, c = Jb ca + cb."""
+            J = [[sum(Jb[i][k] * Ja[k][j] for k in range(S))
+                  for j in range(S)] for i in range(S)]
+            c = [sum(Jb[i][k] * ca[k] for k in range(S)) + cb[i]
+                 for i in range(S)]
+            return J, c
+
+        def mat_roll(J, c, d, axis):
+            Jr = [[pltpu.roll(J[i][j], d, axis) for j in range(S)]
+                  for i in range(S)]
+            cr = [pltpu.roll(c[i], d, axis) for i in range(S)]
+            return Jr, cr
+
+        def mat_mask_identity(J, c, keep):
+            eye = lambda i, j: 1.0 if i == j else 0.0
+            Jm = [[jnp.where(keep, J[i][j], eye(i, j)) for j in range(S)]
+                  for i in range(S)]
+            cm = [jnp.where(keep, c[i], 0.0) for i in range(S)]
+            return Jm, cm
+
+        def relax():
+            prev = prev_of()
+
+            def row(r, prev):
+                f, _ = step_fn(prev, in_ref[r])
+                for k in range(S):
+                    z_scr[r, k] = f[k]
+                return f
+
+            jax.lax.fori_loop(0, L, row, prev)
+
+        def sweep():
+            row0 = prev_of()
+            Jr = [[jnp.full((_SUB, _LANE), 1.0 if i == j else 0.0,
+                            jnp.float32) for j in range(S)] for i in range(S)]
+            cr = [jnp.zeros((_SUB, _LANE), jnp.float32) for _ in range(S)]
+
+            def row(r, carry):
+                Jr, cr, prev = carry
+                f, J = f_and_jac(prev, in_ref[r])
+                c = [f[i] - sum(J[i][k] * prev[k] for k in range(S))
+                     for i in range(S)]
+                Jr, cr = mat_compose(J, c, Jr, cr)
+                for i in range(S):
+                    cp_scr[r, i] = cr[i]
+                    for j in range(S):
+                        jp_scr[r, i * S + j] = Jr[i][j]
+                nxt = [z_scr[r, k] for k in range(S)]
+                return Jr, cr, nxt
+
+            Jb, cb, _ = jax.lax.fori_loop(0, L, row, (Jr, cr, row0))
+
+            d = 1
+            while d < _LANE:
+                Js, cs = mat_roll(Jb, cb, d, 1)
+                Js, cs = mat_mask_identity(Js, cs, lane_i >= d)
+                Jb, cb = mat_compose(Jb, cb, Js, cs)
+                d *= 2
+            Jt = [[jnp.broadcast_to(Jb[i][j][:, _LANE - 1:], (_SUB, _LANE))
+                   for j in range(S)] for i in range(S)]
+            ct = [jnp.broadcast_to(cb[i][:, _LANE - 1:], (_SUB, _LANE))
+                  for i in range(S)]
+            d = 1
+            while d < _SUB:
+                Js, cs = mat_roll(Jt, ct, d, 0)
+                Js, cs = mat_mask_identity(Js, cs, sub_i >= d)
+                Jt, ct = mat_compose(Jt, ct, Js, cs)
+                d *= 2
+            Jre, cre = mat_roll(Jt, ct, 1, 0)
+            Jre, cre = mat_mask_identity(Jre, cre, sub_i != 0)
+            Jle, cle = mat_roll(Jb, cb, 1, 1)
+            Jle, cle = mat_mask_identity(Jle, cle, lane_i != 0)
+            Je, ce = mat_compose(Jle, cle, Jre, cre)
+            z_start = [
+                sum(Je[i][k] * s0[k] for k in range(S)) + ce[i]
+                for i in range(S)
+            ]
+
+            def fix(r, _):
+                for i in range(S):
+                    z_new = sum(
+                        jp_scr[r, i * S + k] * z_start[k] for k in range(S)
+                    ) + cp_scr[r, i]
+                    z_new = jnp.clip(z_new, -v_bound, v_bound)
+                    if damping != 1.0:
+                        z_new = z_scr[r, i] + damping * (z_new - z_scr[r, i])
+                    z_scr[r, i] = z_new
+                return 0
+
+            jax.lax.fori_loop(0, L, fix, 0)
+
+        z_scr[...] = jnp.zeros((L, S, _SUB, _LANE), jnp.float32)
+        for _ in range(relax_passes):
+            relax()
+        for _ in range(sweeps):
+            sweep()
+
+        # emit outputs through the probe at the converged trajectory
+        row0 = prev_of()
+
+        def emit(r, prev):
+            _, out = step_fn(prev, in_ref[r])
+            out_ref[r] = out
+            return [z_scr[r, k] for k in range(S)]
+
+        jax.lax.fori_loop(0, L, emit, row0)
+        for k in range(S):
+            zf_ref[0, k] = z_scr[L - 1, k, _SUB - 1, _LANE - 1]
+
+    out, zf = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, _SUB, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((1, S), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, S, _SUB, _LANE), jnp.float32),
+            pltpu.VMEM((L, S * S, _SUB, _LANE), jnp.float32),
+            pltpu.VMEM((L, S, _SUB, _LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sc, x)
+    final_state = jax.tree_util.tree_unflatten(
+        s_treedef, [zf[0, k] for k in range(S)]
+    )
+    return _unpack_time(out, T), final_state

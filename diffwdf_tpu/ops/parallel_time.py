@@ -55,6 +55,7 @@ def parallel_time_process(
     *,
     n_iters: int = 12,
     state0=None,
+    damping: float = 1.0,
     return_residual: bool = False,
 ):
     """Solve the full sample recursion by Newton-over-trajectory.
@@ -91,6 +92,11 @@ def parallel_time_process(
         c = F - jnp.einsum("tij,tj->ti", J, prev)
         Jc, cc = jax.lax.associative_scan(_combine, (J, c), axis=0)
         new_traj = jnp.einsum("tij,j->ti", Jc, s0_vec) + cc
+        if damping != 1.0:
+            # damped Newton: circuits with a marginal slow state mode (the
+            # HPF clipper's series cap, |df/dz| -> 1) oscillate undamped;
+            # damping=0.5 with ~2-3x n_iters converges there
+            new_traj = traj + damping * (new_traj - traj)
         return new_traj, None
 
     traj0 = jnp.zeros((T, S), s0_vec.dtype)

@@ -49,7 +49,8 @@ class CircuitTrainConfig:
     # root + hoisted per-chunk R only)
 
 
-def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunks=None):
+def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunks=None,
+                         drop_mixed_r: bool = False):
     """{"x","r","y"} streams -> [n_seq, T] arrays (reference ``batch_data``).
 
     R-hoisting: the pot resistance is piecewise-constant per measurement file
@@ -58,7 +59,10 @@ def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunk
     to a per-chunk scalar "r0" [n_seq] and impedance adaptation runs ONCE per
     chunk outside the scan (SURVEY.md §7) instead of per sample inside it —
     identical math, ~an order of magnitude less per-step work.  Chunks with a
-    genuinely time-varying R keep the per-sample "r" stream.
+    genuinely time-varying R keep the per-sample "r" stream — unless
+    ``drop_mixed_r`` (the fused-engine path): chunks straddling a file
+    boundary (mixed R) are then discarded (at most one per file) so every
+    surviving chunk hoists.
     """
     n = len(data["x"]) // batch_size
     if max_chunks is not None:
@@ -69,8 +73,14 @@ def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunk
     }
     if "r" in out and n > 0:
         r_np = np.asarray(out["r"])
-        if np.all(r_np == r_np[:, :1]):
+        const = np.all(r_np == r_np[:, :1], axis=1)
+        if const.all():
             out["r0"] = jnp.asarray(r_np[:, 0])
+            del out["r"]
+        elif drop_mixed_r:
+            keep = np.nonzero(const)[0]
+            out = {k: jnp.asarray(np.asarray(v)[keep]) for k, v in out.items()}
+            out["r0"] = jnp.asarray(r_np[keep, 0])
             del out["r"]
     return out
 

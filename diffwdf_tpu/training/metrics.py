@@ -10,6 +10,7 @@ tools (see diffwdf_tpu.analysis).
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Any, Dict, List, Optional
 
@@ -18,6 +19,8 @@ class MetricsLogger:
     def __init__(self, path: Optional[str] = None, print_every: int = 0):
         self.path = path
         self.print_every = print_every
+        if path and os.path.dirname(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
         self._f = open(path, "a") if path else None
         self._t_last = time.time()
         self.history: Dict[str, List[float]] = {}

@@ -1,0 +1,114 @@
+"""Generic fused parallel-in-time solver (ops.deer_circuit): any circuit,
+multi-state S x S affine composition, jvp-derived Jacobians.
+
+Interpret mode on CPU; the identical kernel compiles for TPU.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import diffwdf_tpu as dwdf
+from diffwdf_tpu.models.diode_clipper import (
+    make_diode_clipper,
+    make_hpf_diode_clipper,
+)
+from diffwdf_tpu.models.tube_screamer import make_tube_screamer
+from diffwdf_tpu.ops.deer_circuit import fused_deer_circuit
+
+FS = 96000.0
+
+
+def test_tube_screamer_three_state():
+    """The showcase: 4-port R-type op-amp stage, S=3 reactive states —
+    the whole Newton-over-trajectory solve in one kernel matches the
+    sequential scan."""
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d,
+                              quality="best")
+    ts = make_tube_screamer(root, FS, drive=0.5)
+    params = {**ts.init_params(), **root.init_params()}
+    rng = np.random.default_rng(2)
+    vin = jnp.asarray((0.5 * rng.standard_normal(2048)).astype(np.float32))
+    ref, ref_st = ts.process(params, ts.init_state(), {"Vin": {"v": vin}})
+    out, st = fused_deer_circuit(ts, params, vin, input_node="Vin",
+                                 interpret=True)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4, "TS output parity"
+    # final state pytree matches too
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(st),
+                    jax.tree_util.tree_leaves(ref_st)):
+        np.testing.assert_allclose(float(a), float(b), atol=1e-4)
+
+
+def test_clipper_matches_dedicated_kernel_math():
+    """S=1 sanity: the generic kernel reproduces the sequential clipper
+    (the dedicated ops.parallel_time_deer covers this topology faster)."""
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d,
+                              quality="best")
+    ckt = make_diode_clipper(root, FS, 47e3, 2.2e-9)
+    params = {**ckt.init_params(), **root.init_params()}
+    rng = np.random.default_rng(4)
+    vin = jnp.asarray((2.0 * rng.standard_normal(1024)).astype(np.float32))
+    ref, _ = ckt.process(params, ckt.init_state(), {"Vs": {"v": vin}})
+    out, _ = fused_deer_circuit(ckt, params, vin, input_node="Vs",
+                                interpret=True)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-6
+
+
+def test_hpf_needs_damping():
+    """The HPF's series capacitor is a marginal slow mode (|df/dz| -> 1):
+    full Newton oscillates (as does the XLA DEER path), damping=0.5
+    converges to the f32 limit of the mode (~1e-4)."""
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d,
+                              quality="best")
+    hpf = make_hpf_diode_clipper(root, FS)
+    params = {**hpf.init_params(), **root.init_params()}
+    rng = np.random.default_rng(2)
+    vin = jnp.asarray((2.0 * rng.standard_normal(2048)).astype(np.float32))
+    ref, _ = hpf.process(params, hpf.init_state(), {"Vs": {"v": vin}})
+    bad, _ = fused_deer_circuit(hpf, params, vin, input_node="Vs",
+                                sweeps=8, interpret=True)
+    good, _ = fused_deer_circuit(hpf, params, vin, input_node="Vs",
+                                 sweeps=24, damping=0.5, interpret=True)
+    err_bad = float(jnp.max(jnp.abs(bad - ref)))
+    err_good = float(jnp.max(jnp.abs(good - ref)))
+    assert err_good < 3e-4, err_good
+    assert err_good < err_bad / 100
+
+
+def test_xla_deer_damping_matches():
+    """The damping knob on the XLA path fixes the same HPF oscillation."""
+    from diffwdf_tpu.ops.parallel_time import parallel_time_process
+
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d,
+                              quality="best")
+    hpf = make_hpf_diode_clipper(root, FS)
+    params = {**hpf.init_params(), **root.init_params()}
+    rng = np.random.default_rng(2)
+    vin = jnp.asarray((2.0 * rng.standard_normal(1024)).astype(np.float32))
+    ref, _ = hpf.process(params, hpf.init_state(), {"Vs": {"v": vin}})
+    out, resid = parallel_time_process(
+        hpf, params, {"Vs": {"v": vin}}, n_iters=30, damping=0.5,
+        return_residual=True,
+    )
+    assert float(resid) < 1e-3, float(resid)
+    assert float(jnp.max(jnp.abs(out - ref))) < 3e-4
+
+
+def test_static_controls_drive_pot():
+    """Block-rate impedance controls (the TS drive pot) enter through
+    static_controls, same contract as the fused forward kernel."""
+    from diffwdf_tpu.models.tube_screamer import drive_to_r6
+
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    ts = make_tube_screamer(root, FS, drive=0.2)
+    params = {**ts.init_params(), **root.init_params()}
+    rng = np.random.default_rng(6)
+    vin = jnp.asarray((0.3 * rng.standard_normal(1024)).astype(np.float32))
+    ctl = {"R6": {"R": drive_to_r6(0.9)}}
+    ref, _ = ts.process(params, ts.init_state(), {"Vin": {"v": vin}},
+                        static_controls=ctl)
+    out, _ = fused_deer_circuit(ts, params, vin, input_node="Vin",
+                                static_controls=ctl, interpret=True)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
