@@ -341,7 +341,8 @@ def main():
 
     dt_seq = _timeit(seq_single, xs_single, n=30)
     dt_pint = _timeit(pint_single, xs_single, n=30)
-    dt_deer = _timeit(deer_single, xs_single, n=30)
+    # sub-ms kernels: pipeline deep enough to clear tunnel-RTT jitter
+    dt_deer = _timeit(deer_single, xs_single, n=300)
     # parity evidence alongside the timing
     deer_err = float(
         jnp.max(jnp.abs(deer_single(xs_single[0]) - seq_single(xs_single[0])))
@@ -387,12 +388,12 @@ def main():
 
     def ts_deer_single(v):
         out, _ = fused_deer_circuit(ts, ts_params, v, input_node="Vin",
-                                    sweeps=8, relax_passes=2)
+                                    sweeps=10, relax_passes=4)
         return out
 
     _p("tube screamer single-stream")
     dt_ts_seq = _timeit(ts_seq_single, xs_single, n=30)
-    dt_ts_deer = _timeit(ts_deer_single, xs_single, n=30)
+    dt_ts_deer = _timeit(ts_deer_single, xs_single, n=300)
     ts_err = float(
         jnp.max(jnp.abs(ts_deer_single(xs_single[0]) - ts_seq_single(xs_single[0])))
     )

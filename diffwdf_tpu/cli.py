@@ -305,6 +305,7 @@ def cmd_process(args):
     proc = make_plugin_processor(
         fs, cutoff_hz=args.cutoff, drive=args.drive, mlp_json=args.model_json,
         clipper_zoo=args.model, clipper_json=clipper_json,
+        engine=args.engine,
     )
     if args.circuit == "tube_screamer":
         knobs = {"drive": args.drive}
@@ -624,6 +625,10 @@ def main(argv=None):
     sp.add_argument("--block", type=int, default=2048)
     sp.add_argument("--fs", type=float, default=48000.0,
                     help="sample rate for .npy inputs")
+    sp.add_argument("--engine", default="scan", choices=("scan", "deer"),
+                    help="deer = fused parallel-in-time serving for the "
+                         "analytic-rooted circuits (blocks divisible by "
+                         "1024; others fall back to the scan)")
     sp.add_argument("--out", help="output path (.wav or .npy)")
     sp.set_defaults(fn=cmd_process)
 

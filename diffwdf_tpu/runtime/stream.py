@@ -431,6 +431,7 @@ def make_plugin_processor(
     mlp_json: Optional[str] = None,
     clipper_zoo: Optional[int] = None,
     clipper_json: Optional[str] = None,
+    engine: str = "scan",
 ) -> StreamingProcessor:
     """The full reference-plugin circuit set (``DifferentiableWDFPlugin.h:41-43``):
     diode clipper, multi-diode clipper, and Tube Screamer, with block-rate
@@ -495,6 +496,51 @@ def make_plugin_processor(
     circuits["tube_screamer"] = (ts, {**ts.init_params(), **ts_frag})
     param_maps["tube_screamer"] = lambda drive: {"R6": {"R": drive_to_r6(drive)}}
 
+    overrides = {}
+    if engine == "deer":
+        # low-latency single-stream serving: the analytic-rooted circuits
+        # run through the fused parallel-in-time kernels (the neural-rooted
+        # ones keep the scan; blocks not divisible by 1024 fall back)
+        from ..ops.deer_circuit import fused_deer_circuit
+        from ..ops.parallel_time_deer import fused_deer_clipper
+
+        interp = jax.default_backend() != "tpu"
+        if (clipper_zoo in (None, 0, 1)) and clipper_json is None:
+            sweeps = 8 if clipper_zoo in (None, 0) else 4
+
+            def clipper_deer(params, state, inputs, static_controls,
+                             _ckt=ckt, _sweeps=sweeps):
+                v = inputs["Vs"]["v"]
+                if v.shape[0] % 1024:
+                    return _ckt.process(params, state, inputs,
+                                        static_controls=static_controls)
+                rr = (static_controls or {}).get("Vs", {}).get(
+                    "R", params["Vs"]["R"])
+                d = params["dp"]
+                out, zf = fused_deer_clipper(
+                    v, rr, params["C"]["C"], d["Is"], d["Vt"] * d["nabla"],
+                    d["N_up"], d["N_down"], fs=fs, z0=state["C"]["z"],
+                    sweeps=_sweeps, interpret=interp,
+                )
+                return out, {"C": {"z": zf}}
+
+            overrides["clipper"] = clipper_deer
+
+        if mlp_json is None:  # analytic TS root
+
+            def ts_deer(params, state, inputs, static_controls, _ts=ts):
+                v = inputs["Vin"]["v"]
+                if v.shape[0] % 1024:
+                    return _ts.process(params, state, inputs,
+                                       static_controls=static_controls)
+                return fused_deer_circuit(
+                    _ts, params, v, input_node="Vin",
+                    static_controls=static_controls, state0=state,
+                    interpret=interp,
+                )
+
+            overrides["tube_screamer"] = ts_deer
+
     return StreamingProcessor(
         circuits, fs, param_maps=param_maps,
         param_schemas={
@@ -502,4 +548,5 @@ def make_plugin_processor(
             "multi_diode_clipper": multi_diode_param_specs(),
             "tube_screamer": tube_screamer_param_specs(),
         },
+        process_overrides=overrides,
     )

@@ -56,6 +56,12 @@ def main():
         rows.append((
             "Single stream T=2048 (plugin block regime)",
             f"{ss2['speedup_fused_deer']:.1f}× over sequential scan", "—"))
+    tss = d.get("ts_single_stream_T16384")
+    if tss:
+        rows.append((
+            "Tube Screamer single stream T=16384 (generic fused DEER, "
+            "3 states)",
+            f"{tss['speedup_fused_deer']:.1f}× over sequential scan", "—"))
     if "clipper_msamples_per_s" in cg:
         rows.append((
             "Generated-C CPU engines (single core)",

@@ -112,3 +112,23 @@ def test_static_controls_drive_pot():
     out, _ = fused_deer_circuit(ts, params, vin, input_node="Vin",
                                 static_controls=ctl, interpret=True)
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+
+def test_plugin_processor_deer_engine():
+    """make_plugin_processor(engine='deer'): clipper AND tube screamer serve
+    through the fused parallel-in-time kernels, matching the scan engine
+    block-for-block (incl. the drive-pot static control)."""
+    from diffwdf_tpu.runtime.stream import make_plugin_processor
+
+    fs = 48000.0
+    rng = np.random.default_rng(9)
+    x = (0.8 * rng.standard_normal(2048)).astype(np.float32)
+    p_scan = make_plugin_processor(fs)
+    p_deer = make_plugin_processor(fs, engine="deer")
+    for circuit, knobs in (
+        ("clipper", {"cutoff_hz": 3000.0}),
+        ("tube_screamer", {"drive": 0.7}),
+    ):
+        a = p_scan.process_block(x, circuit, gain_db=3.0, **knobs)
+        b = p_deer.process_block(x, circuit, gain_db=3.0, **knobs)
+        np.testing.assert_allclose(a, b, atol=2e-4, err_msg=circuit)
