@@ -55,10 +55,15 @@ diode_1n4148_2u2d = DiodeConfig("1N4148 (2U-2D)", N_up=2, N_down=2, **_1N4148)
 diode_1n4148_2u3d = DiodeConfig("1N4148 (2U-3D)", N_up=2, N_down=3, **_1N4148)
 diode_1n4148_3u3d = DiodeConfig("1N4148 (3U-3D)", N_up=3, N_down=3, **_1N4148)
 
-# OA1154 germanium diode (the reference's second measurement family,
-# ``diode_dataset/OA1154``).  The reference defines no DiodeConfig for it
-# (its physics enter only through measured data); these are nominal germanium
-# point-contact parameters for synthetic-data generation.
+# OA1154 gold-bonded germanium diode (the reference's second measurement
+# family, ``diode_dataset/OA1154``).  The reference defines no DiodeConfig
+# for it (its physics enter only through measured data); these constants are
+# consistent with the mounted NJ Semi-Conductors datasheet
+# (``diode_dataset/OA1154/OA1154_datasheet.pdf``): reverse current <= 30 uA
+# at 40 V bounds Is (gold-bonded Ge saturation currents sit in the uA range,
+# vs nA for silicon), and Shockley with Is = 2 uA, nabla = 1.3 gives
+# Vf(10 mA) = 1.3 * 0.02585 * ln(1e-2 / 2e-6) ~= 0.29 V — the typical Ge
+# forward drop, within the datasheet's Vf <= 1.2 V @ 10 mA limit.
 diode_oa1154_1u1d = DiodeConfig("OA1154 (1U-1D)", Is=2.0e-6, nabla=1.3)
 
 ALL_1N4148 = {
