@@ -349,9 +349,12 @@ def make_clipper_processor(
     if engine == "deer":
         from ..ops.parallel_time_deer import fused_deer_clipper
 
-        sweeps_of = {"toms": 8, "approx": 4}  # quality knob parity
+        # (sweeps, omega iters) per root: the omega iteration count must
+        # match the scan engine's quality knob so switching engines never
+        # changes the model ("approx" = chowdsp-style 1-iter omega)
+        cfg_of = {"toms": (8, 3), "approx": (4, 1)}
 
-        def make_deer(ckt, sweeps):
+        def make_deer(ckt, sweeps, qiters):
             def run(params, state, inputs, static_controls):
                 v = inputs["Vs"]["v"]
                 if v.shape[0] % 1024:  # static shape: clean trace-time fallback
@@ -365,7 +368,7 @@ def make_clipper_processor(
                 out, zf = fused_deer_clipper(
                     v, r, params["C"]["C"], d["Is"], d["Vt"] * d["nabla"],
                     d["N_up"], d["N_down"], fs=fs,
-                    z0=state["C"]["z"], sweeps=sweeps,
+                    z0=state["C"]["z"], sweeps=sweeps, quality_iters=qiters,
                     interpret=jax.default_backend() != "tpu",
                 )
                 return out, {"C": {"z": zf}}
@@ -373,8 +376,8 @@ def make_clipper_processor(
             return run
 
         for m in circuits:
-            if m in sweeps_of:
-                overrides[m] = make_deer(circuits[m][0], sweeps_of[m])
+            if m in cfg_of:
+                overrides[m] = make_deer(circuits[m][0], *cfg_of[m])
 
     specs = clipper_param_specs(choices=tuple(circuits))
     return StreamingProcessor(
@@ -389,6 +392,7 @@ def make_hpf_processor(
     cutoff_hz: float = 4000.0,
     lpf_trained_json: Optional[str] = None,
     hpf_trained_json: Optional[str] = None,
+    engine: str = "scan",
 ) -> StreamingProcessor:
     """The HPF clipper circuit under its 4 root choices
     (``HPFDiodeClipper.cpp:29-30,60-66``): TOMS, approx, the LPF-trained
@@ -417,10 +421,37 @@ def make_hpf_processor(
     def hpf_map(cutoff_hz):
         return {"R": {"R": cutoff_to_resistance(cutoff_hz, cap)}}
 
+    overrides = {}
+    if engine == "deer":
+        # HPF's series capacitor is a marginal slow state mode: the generic
+        # fused solver needs damped Newton (see ops.deer_circuit docstring)
+        from ..ops.deer_circuit import fused_deer_circuit
+
+        interp = jax.default_backend() != "tpu"
+
+        def make_deer(ckt):
+            def run(params, state, inputs, static_controls):
+                v = inputs["Vs"]["v"]
+                if v.shape[0] % 1024:
+                    return ckt.process(params, state, inputs,
+                                       static_controls=static_controls)
+                return fused_deer_circuit(
+                    ckt, params, v, input_node="Vs",
+                    static_controls=static_controls, state0=state,
+                    sweeps=24, damping=0.5, interpret=interp,
+                )
+
+            return run
+
+        for n in ("toms", "approx"):
+            if n in circuits:
+                overrides[n] = make_deer(circuits[n][0])
+
     specs = hpf_param_specs()
     return StreamingProcessor(
         circuits, fs, param_maps={n: hpf_map for n in circuits},
         param_schemas={n: specs for n in circuits},
+        process_overrides=overrides,
     )
 
 

@@ -132,3 +132,33 @@ def test_plugin_processor_deer_engine():
         a = p_scan.process_block(x, circuit, gain_db=3.0, **knobs)
         b = p_deer.process_block(x, circuit, gain_db=3.0, **knobs)
         np.testing.assert_allclose(a, b, atol=2e-4, err_msg=circuit)
+
+
+def test_clipper_processor_approx_quality_parity():
+    """engine='deer' must not change the model: the 'approx' circuit's
+    1-iteration omega quality carries into the fused kernel."""
+    from diffwdf_tpu.runtime.stream import make_clipper_processor
+
+    fs = 48000.0
+    rng = np.random.default_rng(13)
+    x = (1.5 * rng.standard_normal(2048)).astype(np.float32)
+    a = make_clipper_processor(fs, models=("approx",)).process_block(x, "approx")
+    b = make_clipper_processor(fs, models=("approx",), engine="deer"
+                               ).process_block(x, "approx")
+    np.testing.assert_allclose(a, b, atol=5e-6)
+
+
+def test_hpf_processor_deer_engine():
+    """engine='deer' on the HPF processor: damped generic fused solver,
+    block-parity with the scan engine across carried state."""
+    from diffwdf_tpu.runtime.stream import make_hpf_processor
+
+    fs = 48000.0
+    rng = np.random.default_rng(14)
+    x = (1.0 * rng.standard_normal(4096)).astype(np.float32)
+    p_scan = make_hpf_processor(fs)
+    p_deer = make_hpf_processor(fs, engine="deer")
+    for blk in (0, 1):
+        a = p_scan.process_block(x[blk * 2048:(blk + 1) * 2048], "toms")
+        b = p_deer.process_block(x[blk * 2048:(blk + 1) * 2048], "toms")
+        np.testing.assert_allclose(a, b, atol=5e-4)
