@@ -79,6 +79,14 @@ def _timeit(fn, args_list, n=100, reps=3):
 
 def main():
     import jax
+
+    # persistent compilation cache: the harness compiles ~15 kernels; warm
+    # runs (e.g. the driver's round-end invocation) skip straight to timing
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import jax.random as jr
 
@@ -479,6 +487,15 @@ def main():
 
     vs_baseline = neural_msps / cpu_msps
 
+    # preserve opt-in sections (zoo ladder) measured by previous runs so a
+    # default run never erases them from the artifact
+    try:
+        prev = json.load(open("BENCH_DETAILS.json"))
+        for k in ("zoo_ladder_msamples_per_s",):
+            if k in prev and k not in details:
+                details[k] = prev[k]
+    except Exception:
+        pass
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
 
