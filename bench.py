@@ -341,7 +341,7 @@ def main():
 
     @jax.jit
     def deer_single(v):
-        out, _ = fused_deer_clipper(
+        out, _, _ = fused_deer_clipper(
             v, r_src, cap, diode.Is, vt, diode.N_up, diode.N_down,
             fs=fs, sweeps=8, relax_passes=2,
         )
@@ -379,7 +379,7 @@ def main():
 
     @jax.jit
     def deer_blk(v):
-        out, _ = fused_deer_clipper(
+        out, _, _ = fused_deer_clipper(
             v, r_src, cap, diode.Is, vt, diode.N_up, diode.N_down,
             fs=fs, sweeps=8, relax_passes=2,
         )
@@ -395,7 +395,7 @@ def main():
         return out
 
     def ts_deer_single(v):
-        out, _ = fused_deer_circuit(ts, ts_params, v, input_node="Vin",
+        out, _, _ = fused_deer_circuit(ts, ts_params, v, input_node="Vin",
                                     sweeps=10, relax_passes=4)
         return out
 

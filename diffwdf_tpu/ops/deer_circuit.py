@@ -69,7 +69,8 @@ def fused_deer_circuit(
     time, inside one Pallas kernel.
 
     vin: (T,) float32, T a multiple of 1024.  Returns (out (T,), final state
-    pytree).  Semantics match ``circuit.process`` with hoisted adaptation
+    pytree, residual) — residual is the converged trajectory's
+    max |f(z_{t-1}) - z_t|, a runtime convergence certificate.  Semantics match ``circuit.process`` with hoisted adaptation
     (block-rate impedance controls via ``static_controls``) to solver
     tolerance (~1e-6 at the defaults for audio-range drive).
 
@@ -100,7 +101,7 @@ def fused_deer_circuit(
 
     x = _pack_time(vin.astype(jnp.float32), L)
 
-    def kernel(sc_ref, in_ref, out_ref, zf_ref, z_scr, jp_scr, cp_scr):
+    def kernel(sc_ref, in_ref, out_ref, zf_ref, res_ref, z_scr, jp_scr, cp_scr):
         rebuilt = _rebuild_leaves(sc_ref, specs)
         coeffs_k, params_k, static_k = jax.tree_util.tree_unflatten(
             treedef, rebuilt
@@ -262,19 +263,25 @@ def fused_deer_circuit(
         for _ in range(sweeps):
             sweep()
 
-        # emit outputs through the probe at the converged trajectory
+        # emit outputs through the probe at the converged trajectory, plus
+        # the trajectory residual max|f(z_{t-1}) - z_t| (runtime convergence
+        # certificate; see the clipper kernel's docstring for the domain)
         row0 = prev_of()
 
-        def emit(r, prev):
-            _, out = step_fn(prev, in_ref[r])
+        def emit(r, carry):
+            prev, res = carry
+            f, out = step_fn(prev, in_ref[r])
+            for k in range(S):
+                res = jnp.maximum(res, jnp.max(jnp.abs(f[k] - z_scr[r, k])))
             out_ref[r] = out
-            return [z_scr[r, k] for k in range(S)]
+            return [z_scr[r, k] for k in range(S)], res
 
-        jax.lax.fori_loop(0, L, emit, row0)
+        _, res = jax.lax.fori_loop(0, L, emit, (row0, jnp.float32(0.0)))
         for k in range(S):
             zf_ref[0, k] = z_scr[L - 1, k, _SUB - 1, _LANE - 1]
+        res_ref[0, 0] = res
 
-    out, zf = pl.pallas_call(
+    out, zf, res = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -283,10 +290,12 @@ def fused_deer_circuit(
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((L, _SUB, _LANE), jnp.float32),
             jax.ShapeDtypeStruct((1, S), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((L, S, _SUB, _LANE), jnp.float32),
@@ -298,4 +307,4 @@ def fused_deer_circuit(
     final_state = jax.tree_util.tree_unflatten(
         s_treedef, [zf[0, k] for k in range(S)]
     )
-    return _unpack_time(out, T), final_state
+    return _unpack_time(out, T), final_state, res[0, 0]

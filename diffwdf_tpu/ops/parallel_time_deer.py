@@ -59,7 +59,7 @@ def _unpack_time(y, T):
     return y.transpose(1, 2, 0).reshape(T)
 
 
-def _deer_kernel(const_ref, in_ref, out_ref, zf_ref,
+def _deer_kernel(const_ref, in_ref, out_ref, zf_ref, res_ref,
                  z_scr, jp_scr, cp_scr, *, L, sweeps, relax_passes, iters):
     p1R = const_ref[0, 0]
     log_up = const_ref[0, 1]
@@ -199,16 +199,24 @@ def _deer_kernel(const_ref, in_ref, out_ref, zf_ref,
     for _ in range(sweeps):
         sweep()
 
-    # outputs: voltage probe 0.5 (z_new + z_prev) at the converged trajectory
+    # outputs: voltage probe 0.5 (z_new + z_prev) at the converged trajectory,
+    # plus the trajectory residual max|f(z_{t-1}) - z_t| — a runtime
+    # convergence certificate (large residual flags an operating point
+    # outside the solver's domain, e.g. sustained hard clipping at very low
+    # source R where |df/dz| -> 1)
     row0 = prev_of(z_scr[L - 1])
 
-    def emit(r, prev):
+    def emit(r, carry):
+        prev, res = carry
         z_r = z_scr[r]
+        f, _ = f_and_j(prev, in_ref[r])
+        res = jnp.maximum(res, jnp.max(jnp.abs(f - z_r)))
         out_ref[r] = 0.5 * (z_r + prev)
-        return z_r
+        return z_r, res
 
-    jax.lax.fori_loop(0, L, emit, row0)
+    _, res = jax.lax.fori_loop(0, L, emit, (row0, jnp.float32(0.0)))
     zf_ref[0, 0] = z_scr[L - 1, _SUB - 1, _LANE - 1]
+    res_ref[0, 0] = res
 
 
 def fused_deer_clipper(
@@ -230,8 +238,19 @@ def fused_deer_clipper(
     """Single-stream LPF diode clipper solved parallel-in-time in ONE kernel.
 
     vin: (T,) float32 with T a multiple of 1024.  Returns (out (T,), z_final).
+    Returns (out (T,), z_final, residual) where residual is the converged
+    trajectory's max |f(z_{t-1}) - z_t| — a runtime convergence certificate.
     Matches ``circuit.process`` (sequential scan) to solver tolerance
     (~1e-6 at sweeps=8 for audio-range drive).
+
+    Convergence domain: the solve needs the step map bounded away from
+    |df/dz| = 1.  Under sustained hard clipping df/dz -> -(1 - small), and
+    the margin shrinks with the source resistance (p1R = Rc/(Rc+R) -> 1);
+    the full serving cutoff range (200 Hz - 20 kHz => R >= 3.6 kOhm at
+    2.2 nF) converges to ~1e-6, while pathological operating points (e.g.
+    R at the 180-Ohm element bound, every sample clipping) are genuinely
+    ill-conditioned for any parallel-in-time method — check the residual
+    and fall back to the scan there.
     """
     (T,) = vin.shape
     assert T % _NB == 0, f"T={T} must be a multiple of {_NB}"
@@ -256,7 +275,7 @@ def fused_deer_clipper(
     x = _pack_time(vin, L)
     kernel = functools.partial(_deer_kernel, L=L, sweeps=sweeps,
                                relax_passes=relax_passes, iters=quality_iters)
-    out, zf = pl.pallas_call(
+    out, zf, res = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -265,9 +284,11 @@ def fused_deer_clipper(
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((L, _SUB, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         scratch_shapes=[
@@ -277,4 +298,4 @@ def fused_deer_clipper(
         ],
         interpret=interpret,
     )(consts, x)
-    return _unpack_time(out, T), zf[0, 0]
+    return _unpack_time(out, T), zf[0, 0], res[0, 0]

@@ -365,7 +365,7 @@ def make_clipper_processor(
                     "R", params["Vs"]["R"]
                 )
                 d = params["dp"]
-                out, zf = fused_deer_clipper(
+                out, zf, _res = fused_deer_clipper(
                     v, r, params["C"]["C"], d["Is"], d["Vt"] * d["nabla"],
                     d["N_up"], d["N_down"], fs=fs,
                     z0=state["C"]["z"], sweeps=sweeps, quality_iters=qiters,
@@ -435,11 +435,12 @@ def make_hpf_processor(
                 if v.shape[0] % 1024:
                     return ckt.process(params, state, inputs,
                                        static_controls=static_controls)
-                return fused_deer_circuit(
+                out, st, _res = fused_deer_circuit(
                     ckt, params, v, input_node="Vs",
                     static_controls=static_controls, state0=state,
                     sweeps=24, damping=0.5, interpret=interp,
                 )
+                return out, st
 
             return run
 
@@ -548,7 +549,7 @@ def make_plugin_processor(
                 rr = (static_controls or {}).get("Vs", {}).get(
                     "R", params["Vs"]["R"])
                 d = params["dp"]
-                out, zf = fused_deer_clipper(
+                out, zf, _res = fused_deer_clipper(
                     v, rr, params["C"]["C"], d["Is"], d["Vt"] * d["nabla"],
                     d["N_up"], d["N_down"], fs=fs, z0=state["C"]["z"],
                     sweeps=_sweeps, interpret=interp,
@@ -564,11 +565,12 @@ def make_plugin_processor(
                 if v.shape[0] % 1024:
                     return _ts.process(params, state, inputs,
                                        static_controls=static_controls)
-                return fused_deer_circuit(
+                out, st, _res = fused_deer_circuit(
                     _ts, params, v, input_node="Vin",
                     static_controls=static_controls, state0=state,
                     interpret=interp,
                 )
+                return out, st
 
             overrides["tube_screamer"] = ts_deer
 

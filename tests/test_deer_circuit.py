@@ -30,7 +30,7 @@ def test_tube_screamer_three_state():
     rng = np.random.default_rng(2)
     vin = jnp.asarray((0.5 * rng.standard_normal(2048)).astype(np.float32))
     ref, ref_st = ts.process(params, ts.init_state(), {"Vin": {"v": vin}})
-    out, st = fused_deer_circuit(ts, params, vin, input_node="Vin",
+    out, st, res = fused_deer_circuit(ts, params, vin, input_node="Vin",
                                  interpret=True)
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-4, "TS output parity"
     # final state pytree matches too
@@ -51,7 +51,7 @@ def test_clipper_matches_dedicated_kernel_math():
     rng = np.random.default_rng(4)
     vin = jnp.asarray((2.0 * rng.standard_normal(1024)).astype(np.float32))
     ref, _ = ckt.process(params, ckt.init_state(), {"Vs": {"v": vin}})
-    out, _ = fused_deer_circuit(ckt, params, vin, input_node="Vs",
+    out, _, _ = fused_deer_circuit(ckt, params, vin, input_node="Vs",
                                 interpret=True)
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-6
 
@@ -67,9 +67,9 @@ def test_hpf_needs_damping():
     rng = np.random.default_rng(2)
     vin = jnp.asarray((2.0 * rng.standard_normal(2048)).astype(np.float32))
     ref, _ = hpf.process(params, hpf.init_state(), {"Vs": {"v": vin}})
-    bad, _ = fused_deer_circuit(hpf, params, vin, input_node="Vs",
+    bad, _, _ = fused_deer_circuit(hpf, params, vin, input_node="Vs",
                                 sweeps=8, interpret=True)
-    good, _ = fused_deer_circuit(hpf, params, vin, input_node="Vs",
+    good, _, _ = fused_deer_circuit(hpf, params, vin, input_node="Vs",
                                  sweeps=24, damping=0.5, interpret=True)
     err_bad = float(jnp.max(jnp.abs(bad - ref)))
     err_good = float(jnp.max(jnp.abs(good - ref)))
@@ -109,7 +109,7 @@ def test_static_controls_drive_pot():
     ctl = {"R6": {"R": drive_to_r6(0.9)}}
     ref, _ = ts.process(params, ts.init_state(), {"Vin": {"v": vin}},
                         static_controls=ctl)
-    out, _ = fused_deer_circuit(ts, params, vin, input_node="Vin",
+    out, _, _ = fused_deer_circuit(ts, params, vin, input_node="Vin",
                                 static_controls=ctl, interpret=True)
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
 

@@ -37,7 +37,7 @@ def test_matches_sequential_scan(T):
     rng = np.random.default_rng(3)
     vin = jnp.asarray((2.0 * rng.standard_normal(T)).astype(np.float32))
     ref = _run(ckt, params, vin)
-    out, zf = fused_deer_clipper(
+    out, zf, res = fused_deer_clipper(
         vin, R_SRC, CAP, d.Is, d.Vt * d.nabla, d.N_up, d.N_down,
         fs=FS, interpret=True,
     )
@@ -53,7 +53,7 @@ def test_hard_overdrive_converges():
     rng = np.random.default_rng(1)
     vin = jnp.asarray((10.0 * rng.standard_normal(16384)).astype(np.float32))
     ref = _run(ckt, params, vin)
-    out, _ = fused_deer_clipper(
+    out, _, _ = fused_deer_clipper(
         vin, R_SRC, CAP, d.Is, d.Vt * d.nabla, d.N_up, d.N_down,
         fs=FS, sweeps=8, relax_passes=4, interpret=True,
     )
@@ -66,7 +66,7 @@ def test_multi_diode_config():
     rng = np.random.default_rng(5)
     vin = jnp.asarray((2.0 * rng.standard_normal(2048)).astype(np.float32))
     ref = _run(ckt, params, vin)
-    out, _ = fused_deer_clipper(
+    out, _, _ = fused_deer_clipper(
         vin, R_SRC, CAP, d.Is, d.Vt * d.nabla, d.N_up, d.N_down,
         fs=FS, interpret=True,
     )
@@ -81,9 +81,9 @@ def test_streaming_state_continuity():
     vin = (2.0 * rng.standard_normal(2048)).astype(np.float32)
     kw = dict(fs=FS, interpret=True)
     args = (R_SRC, CAP, d.Is, d.Vt * d.nabla, d.N_up, d.N_down)
-    full, _ = fused_deer_clipper(jnp.asarray(vin), *args, **kw)
-    a, za = fused_deer_clipper(jnp.asarray(vin[:1024]), *args, **kw)
-    b, _ = fused_deer_clipper(jnp.asarray(vin[1024:]), *args,
+    full, _, _ = fused_deer_clipper(jnp.asarray(vin), *args, **kw)
+    a, za, _ = fused_deer_clipper(jnp.asarray(vin[:1024]), *args, **kw)
+    b, _, _ = fused_deer_clipper(jnp.asarray(vin[1024:]), *args,
                               z0=float(za), **kw)
     chained = np.concatenate([np.asarray(a), np.asarray(b)])
     np.testing.assert_allclose(chained, np.asarray(full), atol=2e-6)
@@ -118,3 +118,37 @@ def test_streaming_processor_deer_engine():
     # non-multiple-of-1024 blocks fall back to the scan transparently
     c = p_deer.process_block(x[:1000], "toms")
     assert np.all(np.isfinite(c))
+
+
+def test_component_bounds_parity_and_residual_certificate():
+    """Fused solver parity holds across the serving R range (the cutoff
+    param maps 200 Hz - 20 kHz to R in [3.6k, 360k] Ohm) and up to the
+    element upper bound, with a TINY reported residual; at the pathological
+    low-R element bound (R = 180 Ohm: every sample clips hard and
+    |df/dz| -> 1, ill-conditioned for any parallel-in-time method) the
+    runtime residual certificate flags the failure instead of silently
+    returning a wrong trajectory."""
+    d = dwdf.diode_1n4148_1u1d
+    rng = np.random.default_rng(21)
+    vin = jnp.asarray((2.0 * rng.standard_normal(1024)).astype(np.float32))
+
+    def run(r_src):
+        root = dwdf.DiodePairRoot(name="dp", diode=d, quality="best")
+        ckt = make_diode_clipper(root, FS, r_src, CAP)
+        params = {**ckt.init_params(), **root.init_params()}
+        ref, _ = ckt.process(params, ckt.init_state(), {"Vs": {"v": vin}})
+        out, _, res = fused_deer_clipper(
+            vin, r_src, CAP, d.Is, d.Vt * d.nabla, d.N_up, d.N_down,
+            fs=FS, interpret=True,
+        )
+        err = float(jnp.max(jnp.abs(out - np.asarray(ref))))
+        return err, float(res)
+
+    for r_src in (3.6e3, 47e3, 1e6):
+        err, res = run(r_src)
+        assert err < 2e-6, (r_src, err)
+        assert res < 1e-5, (r_src, res)
+    # pathological operating point: large error, but the certificate says so
+    err, res = run(180.0)
+    assert res > 1e-2, res  # residual flags non-convergence
+    assert res > err / 100  # certificate magnitude tracks the failure
