@@ -153,8 +153,12 @@ class StreamingProcessor:
         #: per-circuit replacement for ``Circuit.process`` inside the block
         #: fn — e.g. the fused parallel-in-time solver as a low-latency
         #: serving engine; signature (params, state, inputs, static_controls)
-        #: -> (out, state)
+        #: -> (out, state) or (out, state, residual)
         self.process_overrides = dict(process_overrides or {})
+        #: last solver-residual certificate per circuit (deer engines emit
+        #: max|f(z_prev) - z| — the serving health metric next to `load`;
+        #: 0.0 for the exact scan engine)
+        self.last_residual: Dict[str, float] = {}
         self._fns: Dict[Tuple[str, int], Callable] = {}
         self._state: Dict[str, Any] = {
             name: ckt.init_state() for name, (ckt, _) in circuits.items()
@@ -216,14 +220,17 @@ class StreamingProcessor:
                 t = (jnp.arange(block_len) + 1.0) / block_len
                 g = gain0 + (gain1 - gain0) * t  # per-sample gain ramp
                 if override is not None:
-                    out, state = override(
+                    res = override(
                         params, state, {node: {"v": vin * g}}, static_controls
                     )
+                    out, state = res[0], res[1]
+                    residual = res[2] if len(res) > 2 else jnp.float32(0.0)
                 else:
                     out, state = ckt.process(
                         params, state, {node: {"v": vin * g}},
                         static_controls=static_controls,
                     )
+                    residual = jnp.float32(0.0)
 
                 def dc_step(carry, x):
                     x1, y1 = carry
@@ -231,7 +238,7 @@ class StreamingProcessor:
                     return (x, y), y
 
                 dc_state, out = jax.lax.scan(dc_step, dc_state, out)
-                return out, state, dc_state
+                return out, state, dc_state, residual
 
             self._fns[key] = fn
         return self._fns[key]
@@ -263,7 +270,7 @@ class StreamingProcessor:
                 raise ValueError(f"no param map for circuit {circuit!r}")
             static_controls = mapper(**block_params)
         t0 = time.perf_counter()
-        out, state, dc_state = fn(
+        out, state, dc_state, residual = fn(
             params,
             self._state[circuit],
             self._dc_state,
@@ -279,6 +286,7 @@ class StreamingProcessor:
 
         self._state[circuit] = state
         self._dc_state = dc_state
+        self.last_residual[circuit] = float(residual)
         self._gain = gain1
         if multi:
             return np.broadcast_to(out, x.shape).copy()
@@ -365,13 +373,13 @@ def make_clipper_processor(
                     "R", params["Vs"]["R"]
                 )
                 d = params["dp"]
-                out, zf, _res = fused_deer_clipper(
+                out, zf, res = fused_deer_clipper(
                     v, r, params["C"]["C"], d["Is"], d["Vt"] * d["nabla"],
                     d["N_up"], d["N_down"], fs=fs,
                     z0=state["C"]["z"], sweeps=sweeps, quality_iters=qiters,
                     interpret=jax.default_backend() != "tpu",
                 )
-                return out, {"C": {"z": zf}}
+                return out, {"C": {"z": zf}}, res
 
             return run
 
@@ -435,12 +443,12 @@ def make_hpf_processor(
                 if v.shape[0] % 1024:
                     return ckt.process(params, state, inputs,
                                        static_controls=static_controls)
-                out, st, _res = fused_deer_circuit(
+                out, st, res = fused_deer_circuit(
                     ckt, params, v, input_node="Vs",
                     static_controls=static_controls, state0=state,
                     sweeps=24, damping=0.5, interpret=interp,
                 )
-                return out, st
+                return out, st, res
 
             return run
 
@@ -549,12 +557,12 @@ def make_plugin_processor(
                 rr = (static_controls or {}).get("Vs", {}).get(
                     "R", params["Vs"]["R"])
                 d = params["dp"]
-                out, zf, _res = fused_deer_clipper(
+                out, zf, res = fused_deer_clipper(
                     v, rr, params["C"]["C"], d["Is"], d["Vt"] * d["nabla"],
                     d["N_up"], d["N_down"], fs=fs, z0=state["C"]["z"],
                     sweeps=_sweeps, interpret=interp,
                 )
-                return out, {"C": {"z": zf}}
+                return out, {"C": {"z": zf}}, res
 
             overrides["clipper"] = clipper_deer
 
@@ -565,12 +573,12 @@ def make_plugin_processor(
                 if v.shape[0] % 1024:
                     return _ts.process(params, state, inputs,
                                        static_controls=static_controls)
-                out, st, _res = fused_deer_circuit(
+                out, st, res = fused_deer_circuit(
                     _ts, params, v, input_node="Vin",
                     static_controls=static_controls, state0=state,
                     interpret=interp,
                 )
-                return out, st
+                return out, st, res
 
             overrides["tube_screamer"] = ts_deer
 

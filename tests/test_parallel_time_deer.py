@@ -115,9 +115,13 @@ def test_streaming_processor_deer_engine():
         b = p_deer.process_block(x[blk * 2048:(blk + 1) * 2048], "toms",
                                  gain_db=6.0, cutoff_hz=3000.0)
         np.testing.assert_allclose(a, b, atol=5e-6)
+    # residual certificate surfaced as a serving health metric
+    assert 0.0 <= p_deer.last_residual["toms"] < 1e-5
+    assert p_scan.last_residual["toms"] == 0.0  # scan engine is exact
     # non-multiple-of-1024 blocks fall back to the scan transparently
     c = p_deer.process_block(x[:1000], "toms")
     assert np.all(np.isfinite(c))
+    assert p_deer.last_residual["toms"] == 0.0  # fallback is the exact scan
 
 
 def test_component_bounds_parity_and_residual_certificate():
