@@ -118,6 +118,7 @@ def parallel_time_process_implicit(
     *,
     n_iters: int = 12,
     state0=None,
+    damping: float = 1.0,
 ):
     """Like :func:`parallel_time_process`, but gradients use **implicit
     differentiation at the converged trajectory**: one adjoint pass through
@@ -156,7 +157,10 @@ def parallel_time_process_implicit(
             J = jax.vmap(jax.jacfwd(lambda s, u: step_vec(s, u, prm)))(prev, inp)
             c = F - jnp.einsum("tij,tj->ti", J, prev)
             Jc, cc = jax.lax.associative_scan(_combine, (J, c), axis=0)
-            return jnp.einsum("tij,j->ti", Jc, s0_vec) + cc, None
+            new_traj = jnp.einsum("tij,j->ti", Jc, s0_vec) + cc
+            if damping != 1.0:  # same damped-Newton knob as the forward path
+                new_traj = traj + damping * (new_traj - traj)
+            return new_traj, None
 
         traj0 = jnp.zeros((T, S), s0_vec.dtype)
         traj, _ = jax.lax.scan(sweep, traj0, None, length=n_iters)

@@ -162,3 +162,21 @@ def test_hpf_processor_deer_engine():
         a = p_scan.process_block(x[blk * 2048:(blk + 1) * 2048], "toms")
         b = p_deer.process_block(x[blk * 2048:(blk + 1) * 2048], "toms")
         np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_implicit_variant_damping():
+    """The implicit-VJP solver accepts the same damping knob (HPF gradient
+    workloads need it for the same marginal-mode reason)."""
+    from diffwdf_tpu.ops.parallel_time import parallel_time_process_implicit
+
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d,
+                              quality="best")
+    hpf = make_hpf_diode_clipper(root, FS)
+    params = {**hpf.init_params(), **root.init_params()}
+    rng = np.random.default_rng(2)
+    vin = jnp.asarray((2.0 * rng.standard_normal(1024)).astype(np.float32))
+    ref, _ = hpf.process(params, hpf.init_state(), {"Vs": {"v": vin}})
+    out = parallel_time_process_implicit(
+        hpf, params, {"Vs": {"v": vin}}, n_iters=30, damping=0.5
+    )
+    assert float(jnp.max(jnp.abs(out - ref))) < 3e-4
