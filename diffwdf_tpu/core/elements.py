@@ -154,7 +154,11 @@ class Resistor(WDFNode):
         return R
 
     def reflected(self, coeffs, state, controls, waves):
-        return self._record_b(waves, jnp.zeros(()))
+        # dtype-neutral zero: match the port impedance's dtype so an f64
+        # oracle run (params/state cast to f64 under jax.enable_x64) stays
+        # f64 end to end while the normal path stays f32.
+        R = coeffs[self.name]["R"]
+        return self._record_b(waves, jnp.zeros((), jnp.result_type(R)))
 
     def incident(self, coeffs, state, controls, waves, x):
         self._record_a(waves, x)
@@ -259,8 +263,11 @@ class ResistiveVoltageSource(WDFNode):
         return R
 
     def reflected(self, coeffs, state, controls, waves):
+        # jnp.asarray keeps the control's own dtype (f32 serving, f64 oracle
+        # runs); a strongly-typed jnp.ones(()) would force promotion under
+        # jax.enable_x64 and break f32 kernel bodies traced in that context.
         v = controls[self.name]["v"]
-        return self._record_b(waves, v * jnp.ones(()))
+        return self._record_b(waves, jnp.asarray(v))
 
     def incident(self, coeffs, state, controls, waves, x):
         self._record_a(waves, x)

@@ -204,7 +204,8 @@ class RTypeAdaptor(WDFNode):
         if self.static_s is not None:
             S, ra = self.static_s
         else:
-            S, ra = self.s_fn([jnp.asarray(r, jnp.float32) for r in child_rs])
+            # preserve the incoming dtype (f32 serving / f64 oracle runs)
+            S, ra = self.s_fn([jnp.asarray(r) for r in child_rs])
         coeffs[self.name] = {"R": ra, "S": S}
         return ra
 
