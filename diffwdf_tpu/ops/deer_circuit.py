@@ -137,17 +137,19 @@ def fused_deer_circuit(
         def f_and_jac(st_vec, v):
             """Step outputs f (list of S) and Jacobian columns J[:,k] via S
             jvp passes (implicit omega jvp keeps each pass one extra
-            elementwise sweep)."""
-            f, _ = step_fn(st_vec, v)
+            elementwise sweep).  The first jvp's primal IS f — no separate
+            step_fn evaluation, so a sweep costs S traversals, not S+1."""
+            f = None
             cols = []
             for k in range(S):
                 tangents = [
                     jnp.full_like(st_vec[0], 1.0 if i == k else 0.0)
                     for i in range(S)
                 ]
-                _, (df, _) = jax.jvp(
+                (fk, _), (df, _) = jax.jvp(
                     lambda sv: step_fn(sv, v), (st_vec,), (tangents,)
                 )
+                f = f if f is not None else fk
                 cols.append(df)  # df[i] = dF_i/dz_k
             # J[i][k]
             J = [[cols[k][i] for k in range(S)] for i in range(S)]

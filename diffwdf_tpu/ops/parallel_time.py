@@ -203,10 +203,23 @@ def parallel_time_batched(
     inputs_batched: Dict[str, Dict[str, Any]],
     *,
     n_iters: int = 12,
+    state0=None,
+    damping: float = 1.0,
+    return_residual: bool = False,
 ):
-    """vmap of :func:`parallel_time_process` over a leading batch axis."""
+    """vmap of :func:`parallel_time_process` over a leading batch axis.
+
+    Forwards the solver knobs: marginal slow-mode circuits (the HPF
+    clipper) need ``damping`` here exactly as in the single-stream case,
+    and ``return_residual=True`` yields a per-stream convergence
+    certificate (outputs, residuals[B]).  ``state0`` (unbatched) seeds
+    every stream.
+    """
 
     def one(inp):
-        return parallel_time_process(circuit, params, inp, n_iters=n_iters)
+        return parallel_time_process(
+            circuit, params, inp, n_iters=n_iters, state0=state0,
+            damping=damping, return_residual=return_residual,
+        )
 
     return jax.vmap(one)(inputs_batched)

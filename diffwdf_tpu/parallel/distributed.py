@@ -65,7 +65,9 @@ def measure_scaling(
             continue
         mesh = make_mesh((n, 1), ("data", "time"), devices=jax.devices()[:n])
         step = make_step(mesh)
-        step()  # compile
+        # compile AND drain the warm-up execution before starting the clock,
+        # else the first timed iteration queues behind it and inflates mean_s
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), step())
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step()

@@ -65,10 +65,26 @@ def time_block_process(
 
     inputs: {node: {field: array[T]}} with T divisible by the mesh's time
     axis.  Returns outputs[T].  Device 0's warm-up prefix is silence (zero
-    drive), matching the reference's cold-start-and-skip convention.
+    drive), matching the reference's cold-start-and-skip convention — but
+    only *signal* fields are zeroed: impedance-control streams (a pot "R")
+    must stay at valid values through the warm-up, else per-sample
+    re-adaptation divides by zero (G = 1/R) and the NaN contaminates the
+    carried state far past the discarded prefix.
     """
     D = mesh.shape[axis]
     state0 = circuit.init_state()
+
+    # fields that are impedance controls of their tree node keep their
+    # (wrapped-tail) values on device 0; everything else is a drive signal
+    # and gets the cold-start zero prefix
+    imp_fields: Dict[str, frozenset] = {}
+
+    def _walk(n):
+        imp_fields[n.name] = frozenset(getattr(n, "impedance_controls", ()))
+        for c in getattr(n, "children", ()):
+            _walk(c)
+
+    _walk(circuit.tree)
 
     def run(blk):  # blk: {node: {field: [T/D]}} local shard
         st0 = jax.tree_util.tree_map(
@@ -86,9 +102,20 @@ def time_block_process(
         )
         idx = jax.lax.axis_index(axis)
         gate = jnp.where(idx == 0, 0.0, 1.0)
-        ext = jax.tree_util.tree_map(
-            lambda p, x: jnp.concatenate([gate * p, x]), prev_tail, blk
-        )
+        ext = {
+            node: {
+                f: jnp.concatenate(
+                    [
+                        prev_tail[node][f]
+                        if f in imp_fields.get(node, frozenset())
+                        else gate * prev_tail[node][f],
+                        x,
+                    ]
+                )
+                for f, x in fields.items()
+            }
+            for node, fields in blk.items()
+        }
         out, _ = circuit.process(params, st0, ext)
         return out[warmup:]
 

@@ -546,10 +546,13 @@ def make_plugin_processor(
 
         interp = jax.default_backend() != "tpu"
         if (clipper_zoo in (None, 0, 1)) and clipper_json is None:
-            sweeps = 8 if clipper_zoo in (None, 0) else 4
+            # (sweeps, omega iters) must mirror make_clipper_processor's
+            # cfg_of so the engine switch never changes the model: zoo 1
+            # ("approx") is the 1-iter omega root in the scan engine too
+            sweeps, qiters = (8, 3) if clipper_zoo in (None, 0) else (4, 1)
 
             def clipper_deer(params, state, inputs, static_controls,
-                             _ckt=ckt, _sweeps=sweeps):
+                             _ckt=ckt, _sweeps=sweeps, _qiters=qiters):
                 v = inputs["Vs"]["v"]
                 if v.shape[0] % 1024:
                     return _ckt.process(params, state, inputs,
@@ -560,7 +563,7 @@ def make_plugin_processor(
                 out, zf, res = fused_deer_clipper(
                     v, rr, params["C"]["C"], d["Is"], d["Vt"] * d["nabla"],
                     d["N_up"], d["N_down"], fs=fs, z0=state["C"]["z"],
-                    sweeps=_sweeps, interpret=interp,
+                    sweeps=_sweeps, quality_iters=_qiters, interpret=interp,
                 )
                 return out, {"C": {"z": zf}}, res
 

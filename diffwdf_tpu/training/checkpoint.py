@@ -36,7 +36,12 @@ def save_checkpoint(
     step: int = 0,
     extra: Optional[Dict[str, Any]] = None,
 ):
-    """Write a checkpoint.  path is a directory; atomic via tmp+rename."""
+    """Write a checkpoint.  path is a directory; atomic via tmp+rename.
+
+    meta.json is the commit marker: it is written (tmp+rename) only after
+    arrays.npz is in place, and ``latest_checkpoint`` ignores directories
+    without it — a crash mid-save can never brick a resume.
+    """
     os.makedirs(path, exist_ok=True)
     tmp = path + ".tmp.npz"
     arrays = {}
@@ -49,8 +54,10 @@ def save_checkpoint(
     final_npz = os.path.join(path, "arrays.npz")
     os.replace(tmp, final_npz)
     meta = {"step": int(step), "extra": extra or {}}
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    tmp_meta = path + ".tmp.meta.json"
+    with open(tmp_meta, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp_meta, os.path.join(path, "meta.json"))
 
 
 def restore_checkpoint(path: str, params_template, opt_state_template=None):
@@ -64,11 +71,6 @@ def restore_checkpoint(path: str, params_template, opt_state_template=None):
         meta = json.load(f)
 
     def refill(template, prefix):
-        flat = _flatten_with_paths(template)
-        keys = list(flat.keys())
-        vals = []
-        for k in keys:
-            vals.append(jax.numpy.asarray(data[f"{prefix}|{k}"]))
         # rebuild in treedef order
         leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
         ordered = []
@@ -95,7 +97,14 @@ def latest_checkpoint(base_dir: str) -> Optional[str]:
         return None
     steps = []
     for d in os.listdir(base_dir):
-        if d.startswith("step_") and os.path.isdir(os.path.join(base_dir, d)):
+        full = os.path.join(base_dir, d)
+        # meta.json is the commit marker (see save_checkpoint): a directory
+        # without it is an interrupted save, not a restorable checkpoint
+        if (
+            d.startswith("step_")
+            and os.path.isdir(full)
+            and os.path.exists(os.path.join(full, "meta.json"))
+        ):
             try:
                 steps.append((int(d.split("_")[1]), d))
             except ValueError:

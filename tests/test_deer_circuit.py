@@ -134,6 +134,21 @@ def test_plugin_processor_deer_engine():
         np.testing.assert_allclose(a, b, atol=2e-4, err_msg=circuit)
 
 
+def test_plugin_processor_deer_zoo1_quality_parity():
+    """Zoo entry 1 ('approx', 1-iter omega) through the plugin's deer
+    engine must match the scan engine — the fused kernel must inherit the
+    root's omega quality, not the default 3 iterations."""
+    from diffwdf_tpu.runtime.stream import make_plugin_processor
+
+    fs = 48000.0
+    rng = np.random.default_rng(17)
+    x = (1.5 * rng.standard_normal(2048)).astype(np.float32)
+    a = make_plugin_processor(fs, clipper_zoo=1).process_block(x, "clipper")
+    b = make_plugin_processor(fs, clipper_zoo=1, engine="deer").process_block(
+        x, "clipper")
+    np.testing.assert_allclose(a, b, atol=5e-6)
+
+
 def test_clipper_processor_approx_quality_parity():
     """engine='deer' must not change the model: the 'approx' circuit's
     1-iteration omega quality carries into the fused kernel."""

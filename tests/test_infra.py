@@ -216,3 +216,21 @@ def test_load_history_jsonl_and_pickle(tmp_path):
                                 "val_loss": hist["val_loss"][i]}) + "\n")
     h2 = load_history(tmp_path / "h.jsonl")
     assert h2["loss"] == hist["loss"] and "epoch" not in h2
+
+
+def test_interrupted_save_is_not_a_checkpoint(tmp_path):
+    """meta.json is the commit marker: a step directory left behind by a
+    crash between the arrays write and the meta write must be skipped by
+    latest_checkpoint instead of bricking resume (regression)."""
+    sizes, _ = mlp_arch(1, 4)
+    params = mlp_init(jax.random.PRNGKey(0), sizes)
+    base = tmp_path / "ckpt"
+    save_checkpoint(str(base / "step_3"), params, step=3)
+    # simulate a crash mid-save of step_9: arrays.npz present, no meta.json
+    crashed = base / "step_9"
+    os.makedirs(crashed)
+    np.savez(str(crashed / "arrays.npz"), x=np.zeros(3))
+    chosen = latest_checkpoint(str(base))
+    assert chosen.endswith("step_3"), chosen
+    p2, _, step, _ = restore_checkpoint(chosen, params)
+    assert step == 3

@@ -192,3 +192,25 @@ def test_scaling_harness(devices8):
     assert set(res) == {1, 4, 8}
     for n, rec in res.items():
         assert rec["mean_s"] > 0 and np.isfinite(rec["efficiency"])
+
+
+def test_time_block_pot_driven_r_stream(devices8):
+    """Impedance-control streams (the pot 'R') must NOT be zeroed in device
+    0's warm-up prefix — R=0 would make per-sample re-adaptation divide by
+    zero and propagate NaN through the whole first block (regression)."""
+    ckt, params = _clipper()
+    mesh = make_mesh((1, 8), ("data", "time"))
+    T = 8 * 512
+    n = np.arange(T)
+    vin = jnp.asarray(
+        (2.0 * np.sin(2 * np.pi * 330.0 * n / FS)).astype(np.float32)
+    )
+    # slowly-swept pot: R from 30k to 60k over the signal
+    r = jnp.asarray(np.linspace(30e3, 60e3, T).astype(np.float32))
+    inputs = {"Vs": {"v": vin, "R": r}}
+
+    serial, _ = ckt.process(params, ckt.init_state(), inputs)
+    par = time_block_process(ckt, params, inputs, mesh, warmup=256)
+    assert np.all(np.isfinite(np.asarray(par)))
+    err = np.max(np.abs(np.asarray(par) - np.asarray(serial)))
+    assert err < 1e-4, err

@@ -112,3 +112,33 @@ def test_implicit_gradients_match_bptt():
         )
     np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2), rtol=2e-3,
                                atol=1e-7)
+
+
+def test_batched_forwards_solver_knobs():
+    """parallel_time_batched must forward damping/return_residual/state0:
+    the batched HPF solve needs the same damped Newton as single-stream,
+    and the per-stream residual certificate must be reachable
+    (regression — these knobs used to be silently dropped)."""
+    from diffwdf_tpu.models.diode_clipper import make_hpf_diode_clipper
+    from diffwdf_tpu.ops.parallel_time import parallel_time_batched
+
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d,
+                              quality="best")
+    hpf = make_hpf_diode_clipper(root, FS)
+    params = {**hpf.init_params(), **root.init_params()}
+    rng = np.random.default_rng(3)
+    vin = jnp.asarray((2.0 * rng.standard_normal((4, 512))).astype(np.float32))
+
+    refs = []
+    for b in range(4):
+        out, _ = hpf.process(params, hpf.init_state(), {"Vs": {"v": vin[b]}})
+        refs.append(out)
+    ref = jnp.stack(refs)
+
+    got, resid = parallel_time_batched(
+        hpf, params, {"Vs": {"v": vin}}, n_iters=30, damping=0.5,
+        return_residual=True,
+    )
+    assert resid.shape == (4,)
+    assert float(jnp.max(resid)) < 1e-3
+    assert float(jnp.max(jnp.abs(got - ref))) < 3e-4
