@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.circuit import Circuit
+from ..core.circuit import Circuit, _collect_impedance_controls
 
 try:  # jax >= 0.6 exposes shard_map at top level
     from jax import shard_map as _shard_map_fn
@@ -77,14 +77,9 @@ def time_block_process(
     # fields that are impedance controls of their tree node keep their
     # (wrapped-tail) values on device 0; everything else is a drive signal
     # and gets the cold-start zero prefix
-    imp_fields: Dict[str, frozenset] = {}
-
-    def _walk(n):
-        imp_fields[n.name] = frozenset(getattr(n, "impedance_controls", ()))
-        for c in getattr(n, "children", ()):
-            _walk(c)
-
-    _walk(circuit.tree)
+    imp_raw: Dict[str, tuple] = {}
+    _collect_impedance_controls(circuit.tree, imp_raw)
+    imp_fields = {k: frozenset(v) for k, v in imp_raw.items()}
 
     def run(blk):  # blk: {node: {field: [T/D]}} local shard
         st0 = jax.tree_util.tree_map(

@@ -52,6 +52,12 @@ def save_checkpoint(
             arrays[f"{name}|{k}"] = v
     np.savez(tmp, **arrays)
     final_npz = os.path.join(path, "arrays.npz")
+    # Overwriting an existing committed checkpoint: retract the commit marker
+    # FIRST so a crash between the arrays replace and the meta replace leaves
+    # the directory uncommitted (stale meta must never describe new arrays).
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(final_npz) and os.path.exists(meta_path):
+        os.unlink(meta_path)
     os.replace(tmp, final_npz)
     meta = {"step": int(step), "extra": extra or {}}
     tmp_meta = path + ".tmp.meta.json"

@@ -234,3 +234,36 @@ def test_interrupted_save_is_not_a_checkpoint(tmp_path):
     assert chosen.endswith("step_3"), chosen
     p2, _, step, _ = restore_checkpoint(chosen, params)
     assert step == 3
+
+
+def test_overwrite_in_place_retracts_commit_marker(tmp_path, monkeypatch):
+    """Overwriting an existing committed step dir must delete meta.json
+    BEFORE replacing arrays.npz, so a crash between the two replaces leaves
+    the directory uncommitted (stale meta must never describe new arrays)."""
+    import diffwdf_tpu.training.checkpoint as ckpt_mod
+
+    sizes, _ = mlp_arch(1, 4)
+    params = mlp_init(jax.random.PRNGKey(0), sizes)
+    d = tmp_path / "ckpt" / "step_3"
+    save_checkpoint(str(d), params, step=3)
+
+    class Crash(RuntimeError):
+        pass
+
+    real_replace = os.replace
+
+    def crashing_replace(src, dst):
+        real_replace(src, dst)
+        if dst.endswith("arrays.npz"):  # die right after the arrays land
+            raise Crash()
+
+    monkeypatch.setattr(ckpt_mod.os, "replace", crashing_replace)
+    import pytest as _pytest
+
+    with _pytest.raises(Crash):
+        save_checkpoint(str(d), params, step=9)
+    monkeypatch.undo()
+
+    # the interrupted overwrite is uncommitted: no meta.json, skipped
+    assert not os.path.exists(d / "meta.json")
+    assert latest_checkpoint(str(tmp_path / "ckpt")) is None
