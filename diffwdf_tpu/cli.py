@@ -290,33 +290,33 @@ def cmd_process(args):
         fs = args.fs
         x = np.load(args.input).astype(np.float32)
 
-    clipper_json = None
-    if args.model is not None and args.model >= 2 and args.model_json is None:
-        # neural zoo entries default to the pretrained weights when present
-        from .models.diode_clipper import ZOO
-
-        _, (n_layers, width) = ZOO[args.model]
-        cfgs = ("1U-1D",) * 5 + ("1U-2D", "2U-2D", "1U-3D", "2U-3D", "3U-3D")
-        cand = (f"models/pretrained/1N4148 ({cfgs[args.model - 2]})_"
-                f"{n_layers}x{width}_pretrained_model.json")
-        clipper_json = cand if os.path.exists(cand) else None
-    elif args.model is not None and args.model >= 2:
-        clipper_json = args.model_json
+    # neural zoo entries default to the checked-in pretrained weights
+    # (ZOO_MODEL_PATHS); --model-json overrides the selected clipper entry.
+    # The full 12-entry zoo stays addressable (DiodeClipperWDF.h:24-36):
+    # 0-6 are the clipper group's choices, 7-11 the multi-diode group's
+    # (MultiDiodeClipper.cpp:48 offsets by +7 into the same WDF).
+    circuit, model = args.circuit, args.model
+    if circuit == "clipper" and model is not None and model >= 7:
+        circuit, model = "multi_diode_clipper", model - 7
+    clipper_zoo = model if circuit == "clipper" else None
+    clipper_json = args.model_json if (clipper_zoo or 0) >= 2 else None
     proc = make_plugin_processor(
         fs, cutoff_hz=args.cutoff, drive=args.drive, mlp_json=args.model_json,
-        clipper_zoo=args.model, clipper_json=clipper_json,
+        clipper_zoo=clipper_zoo, clipper_json=clipper_json,
         engine=args.engine,
     )
-    if args.circuit == "tube_screamer":
+    if circuit == "tube_screamer":
         knobs = {"drive": args.drive}
     else:
         knobs = {"cutoff_hz": args.cutoff}
+    if model is not None:
+        knobs["model"] = model
 
     block = args.block
     pad = (-len(x)) % block
     xp = np.pad(x, (0, pad))
     outs = [
-        proc.process_block(xp[i : i + block], args.circuit,
+        proc.process_block(xp[i : i + block], circuit,
                            gain_db=args.gain_db, **knobs)
         for i in range(0, len(xp), block)
     ]
@@ -332,7 +332,7 @@ def cmd_process(args):
             {
                 "samples": len(out),
                 "fs": fs,
-                "circuit": args.circuit,
+                "circuit": circuit,
                 "blocks": len(outs),
                 "load": round(proc.load, 4),
                 "peak": float(np.max(np.abs(out))),
@@ -362,7 +362,7 @@ def cmd_params(args):
         proc = make_hpf_processor(fs)
     schema = {
         name: [s.to_dict() for s in proc.param_specs(name)]
-        for name in proc.circuits
+        for name in proc.surfaces()
     }
     print(json.dumps({"set": args.set, "fs": fs, "circuits": schema},
                      indent=2 if args.pretty else None))

@@ -104,6 +104,26 @@ ZOO = (
 )
 
 
+#: Default weights for the zoo's neural entries — the parity-pretrained
+#: model zoo (the reference embeds its trained JSONs into the plugin binary
+#: via ``juce_add_binary_data``, ``plugin/src/CMakeLists.txt:16-34``; here
+#: the checked-in pretrained artifacts play that role).  Entries 2-6 are the
+#: five 1U-1D sizes, 7-11 the five multi-diode-config 2x16 nets
+#: (``DiodeClipperWDF.h:24-36`` order).
+ZOO_MODEL_PATHS = {
+    2: "models/pretrained/1N4148 (1U-1D)_2x4_pretrained_model.json",
+    3: "models/pretrained/1N4148 (1U-1D)_2x8_pretrained_model.json",
+    4: "models/pretrained/1N4148 (1U-1D)_2x16_pretrained_model.json",
+    5: "models/pretrained/1N4148 (1U-1D)_4x4_pretrained_model.json",
+    6: "models/pretrained/1N4148 (1U-1D)_4x8_pretrained_model.json",
+    7: "models/pretrained/1N4148 (1U-2D)_2x16_pretrained_model.json",
+    8: "models/pretrained/1N4148 (2U-2D)_2x16_pretrained_model.json",
+    9: "models/pretrained/1N4148 (1U-3D)_2x16_pretrained_model.json",
+    10: "models/pretrained/1N4148 (2U-3D)_2x16_pretrained_model.json",
+    11: "models/pretrained/1N4148 (3U-3D)_2x16_pretrained_model.json",
+}
+
+
 #: The HPF circuit's 4 root choices (``HPFDiodeClipper.cpp:29-30``):
 #: analytic TOMS / approx, the LPF-circuit-trained 2x16 run in the unseen
 #: HPF topology ("Extrapolated"), and a 2x16 trained in the HPF topology
@@ -155,15 +175,19 @@ def make_root_from_zoo(
     name: str = "dp",
 ) -> Tuple[Root, dict]:
     """Build root #index of the zoo.  Neural entries load weights from
-    ``json_path`` (reference-schema JSON) when given, else random init.
-    Returns (root, params_fragment)."""
+    ``json_path`` (reference-schema JSON) when given, else from the
+    checked-in pretrained zoo (ZOO_MODEL_PATHS) when present, else random
+    init.  Returns (root, params_fragment)."""
+    import os
+
     kind, spec = ZOO[index]
     if kind == "analytic":
         root = DiodePairRoot(name=name, diode=diode, quality=spec)
         return root, root.init_params()
     n_layers, width = spec
-    if json_path is not None:
-        mlp, acts, _ = load_model_json(json_path)
+    path = json_path or ZOO_MODEL_PATHS.get(index)
+    if path is not None and os.path.exists(path):
+        mlp, acts, _ = load_model_json(path)
         return NeuralDiodeRoot.from_mlp(name, mlp, acts)
     root = NeuralDiodeRoot(name=name, n_layers=n_layers, layer_size=width)
     return root, root.init_params()

@@ -135,12 +135,34 @@ class StreamingProcessor:
     circuits: {name: (Circuit, params)}; the active circuit is selected per
     block (each compiles once — the TPU analogue of the reference's root
     hot-swap, ``DiodeClipperWDF.cpp:36-41``).
+
+    groups: {group_name: (member, member, ...)} — a group is one *served
+    circuit* whose root model is switchable at block rate (the reference's
+    "model" parameter hot-swaps all 12 clipper roots on one shared tree,
+    ``DiodeClipperWDF.cpp:32-41``).  Members of a group share ONE state
+    pytree (asserted structurally identical), so switching the model
+    mid-stream carries the reactive state across — exactly the reference's
+    ``connectToParent`` + ``calcImpedance`` hot-swap semantics.
+    ``process_block(audio, group, model=k)`` selects member k; the group's
+    registered "model" ParamSpec choices map 1:1 onto the members
+    (asserted at construction — the schema can never over-advertise).
+
+    fallback_tol: always-correct serving guard.  A ``process_override``
+    (fused parallel-in-time engine) emits a residual certificate; if it
+    exceeds this tolerance the block is recomputed with the exact scan
+    (from the same block-input state) — the parallel solver is an
+    optimization, never a correctness change (the reference's engines are
+    unconditionally correct at every operating point,
+    ``Toms917DiodePair.h:51-58``).  ``fallbacks`` counts these per circuit;
+    set ``fallback_tol=None`` to surface the raw residual only.
     """
 
     def __init__(self, circuits: Dict[str, Tuple[Circuit, Any]], fs: float,
                  param_maps: Optional[Dict[str, Callable]] = None,
                  param_schemas: Optional[Dict[str, Tuple[ParamSpec, ...]]] = None,
-                 process_overrides: Optional[Dict[str, Callable]] = None):
+                 process_overrides: Optional[Dict[str, Callable]] = None,
+                 groups: Optional[Dict[str, Tuple[str, ...]]] = None,
+                 fallback_tol: Optional[float] = 1e-3):
         self.circuits = dict(circuits)
         self.fs = fs
         #: per-circuit mapping of block-rate params (cutoff_hz, drive, ...)
@@ -159,14 +181,104 @@ class StreamingProcessor:
         #: max|f(z_prev) - z| — the serving health metric next to `load`;
         #: 0.0 for the exact scan engine)
         self.last_residual: Dict[str, float] = {}
-        self._fns: Dict[Tuple[str, int], Callable] = {}
-        self._state: Dict[str, Any] = {
-            name: ckt.init_state() for name, (ckt, _) in circuits.items()
-        }
+        #: residual-triggered exact-scan recomputations per circuit
+        self.fallbacks: Dict[str, int] = {}
+        self.fallback_tol = fallback_tol
+        self.groups = {g: tuple(m) for g, m in (groups or {}).items()}
+        # group members share one state slot; assert state compatibility
+        self._state_key: Dict[str, str] = {}
+        for g, members in self.groups.items():
+            if g in self.circuits:
+                raise ValueError(f"group {g!r} collides with a circuit name")
+            ref_def = None
+            for m in members:
+                if m not in self.circuits:
+                    raise ValueError(f"group {g!r} member {m!r} not registered")
+                sdef = jax.tree_util.tree_structure(
+                    self.circuits[m][0].init_state()
+                )
+                ref_def = ref_def if ref_def is not None else sdef
+                if sdef != ref_def:
+                    raise ValueError(
+                        f"group {g!r}: member {m!r} state structure {sdef} "
+                        f"!= {ref_def} — members must share state"
+                    )
+                self._state_key[m] = g
+        self._fns: Dict[Tuple[str, int, bool], Callable] = {}
+        self._state: Dict[str, Any] = {}
+        for name, (ckt, _) in circuits.items():
+            self._state.setdefault(self._state_key.get(name, name),
+                                   ckt.init_state())
         self._dc_state = (jnp.zeros(()), jnp.zeros(()))  # (x1, y1)
         self._gain = 1.0
         self._load_acc = 0.0
         self._load = 0.0
+        self._assert_schema_consistency()
+
+    def _assert_schema_consistency(self):
+        """Every registered "model" choice spec must be actionable: its
+        choices map 1:1 onto the selectable set (group members, or — for an
+        ungrouped circuit registered under several sibling names sharing one
+        schema — the sibling circuit names themselves)."""
+        for name, specs in self.param_schemas.items():
+            for s in specs:
+                if s.kind != "choice" or s.api != "circuit":
+                    continue
+                if name in self.groups:
+                    n_sel = len(self.groups[name])
+                elif name in self._state_key:  # member: group's schema
+                    n_sel = len(self.groups[self._state_key[name]])
+                else:
+                    # ungrouped: each choice must name a registered circuit
+                    missing = [c for c in s.choices if c not in self.circuits]
+                    if missing:
+                        raise ValueError(
+                            f"schema for {name!r} advertises model choices "
+                            f"{missing} that are not registered circuits"
+                        )
+                    continue
+                if len(s.choices) != n_sel:
+                    raise ValueError(
+                        f"schema for {name!r} advertises {len(s.choices)} "
+                        f"model choices but {n_sel} are selectable"
+                    )
+
+    def _resolve(self, circuit: str, model) -> str:
+        """Map (circuit-or-group, model choice) -> concrete circuit name.
+        ``model`` may be a choice index, a choice label from the group's
+        schema, or a member name."""
+        if circuit in self.groups:
+            members = self.groups[circuit]
+            if model is None:
+                specs = self.param_schemas.get(circuit, ())
+                choice = next(
+                    (s for s in specs if s.kind == "choice"
+                     and s.api == "circuit"), None
+                )
+                return members[choice.default_choice if choice else 0]
+            if isinstance(model, str):
+                if model in members:
+                    return model
+                specs = self.param_schemas.get(circuit, ())
+                for s in specs:
+                    if s.kind == "choice" and model in s.choices:
+                        return members[s.choices.index(model)]
+                raise KeyError(
+                    f"unknown model {model!r} for {circuit!r}; "
+                    f"members {members}"
+                )
+            return members[int(model)]
+        if circuit not in self.circuits:
+            raise KeyError(
+                f"unknown circuit {circuit!r}; have "
+                f"{sorted(self.circuits) + sorted(self.groups)}"
+            )
+        if model is not None:
+            raise ValueError(
+                f"circuit {circuit!r} is not a model group; "
+                f"pass the circuit name directly"
+            )
+        return circuit
 
     # -- parameter schema (GUI reflection parity) --------------------------
     def param_specs(self, name: str) -> Tuple[ParamSpec, ...]:
@@ -176,9 +288,10 @@ class StreamingProcessor:
         these specs).  Registered schemas come from the circuit factories;
         unregistered circuits derive a schema from their param_map signature
         so every circuit exposes something renderable."""
-        if name not in self.circuits:
+        if name not in self.circuits and name not in self.groups:
             raise KeyError(
-                f"unknown circuit {name!r}; have {sorted(self.circuits)}"
+                f"unknown circuit {name!r}; have "
+                f"{sorted(self.circuits) + sorted(self.groups)}"
             )
         if name in self.param_schemas:
             return self.param_schemas[name]
@@ -198,6 +311,14 @@ class StreamingProcessor:
                     specs.append(ParamSpec(arg, "float", api=arg))
         return tuple(specs)
 
+    def surfaces(self) -> Tuple[str, ...]:
+        """The served circuit names: model groups plus ungrouped circuits —
+        what a GUI/CLI should render (group members are internal variants,
+        addressed via the group's "model" parameter)."""
+        return tuple(self.groups) + tuple(
+            n for n in self.circuits if n not in self._state_key
+        )
+
     @property
     def load(self) -> float:
         """Smoothed processing-load estimate (CPU-meter parity,
@@ -205,15 +326,16 @@ class StreamingProcessor:
         return self._load
 
     # -- core ---------------------------------------------------------------
-    def _block_fn(self, name: str, block_len: int) -> Callable:
-        key = (name, block_len)
+    def _block_fn(self, name: str, block_len: int,
+                  use_override: bool = True) -> Callable:
+        key = (name, block_len, use_override)
         if key not in self._fns:
             ckt, params = self.circuits[name]
             rho = _dc_blocker_coeff(self.fs)
 
             node = "Vin" if "Vin" in ckt.init_params() else "Vs"  # drive node
 
-            override = self.process_overrides.get(name)
+            override = self.process_overrides.get(name) if use_override else None
 
             @jax.jit
             def fn(params, state, dc_state, vin, gain0, gain1, static_controls):
@@ -248,45 +370,73 @@ class StreamingProcessor:
         audio: np.ndarray,
         circuit: str,
         gain_db: float = 0.0,
+        model=None,
         **block_params,
     ) -> np.ndarray:
         """Process one audio block.
 
         audio: (T,) mono or (C, T) multichannel — summed to mono, processed,
         fanned back out to all channels (``DifferentiableWDFPlugin.cpp:50-81``).
+
+        model: for a group circuit, the block's root-model choice (index,
+        schema label, or member name) — switchable per block with state
+        continuity, the reference's model hot-swap
+        (``DiodeClipperWDF.cpp:32-41``).
         """
         x = np.asarray(audio, dtype=np.float32)
         multi = x.ndim == 2
         mono = x.mean(axis=0) if multi else x
         T = mono.shape[-1]
 
+        member = self._resolve(circuit, model)
+        state_key = self._state_key.get(member, member)
         gain1 = float(10.0 ** (gain_db / 20.0))
-        fn = self._block_fn(circuit, T)
-        _, params = self.circuits[circuit]
+        fn = self._block_fn(member, T)
+        _, params = self.circuits[member]
         static_controls = {}
         if block_params:
-            mapper = self.param_maps.get(circuit)
+            mapper = self.param_maps.get(member) or self.param_maps.get(circuit)
             if mapper is None:
                 raise ValueError(f"no param map for circuit {circuit!r}")
             static_controls = mapper(**block_params)
+        state_in = self._state[state_key]
         t0 = time.perf_counter()
         out, state, dc_state, residual = fn(
             params,
-            self._state[circuit],
+            state_in,
             self._dc_state,
             jnp.asarray(mono),
             self._gain,
             gain1,
             static_controls,
         )
+        residual = float(residual)
+        if (
+            self.fallback_tol is not None
+            and member in self.process_overrides
+            and residual > self.fallback_tol
+        ):
+            # the parallel-in-time engine self-flagged this block: recompute
+            # with the exact scan from the same block-input state so serving
+            # stays unconditionally correct at every operating point
+            exact = self._block_fn(member, T, use_override=False)
+            out, state, dc_state, _ = exact(
+                params, state_in, self._dc_state, jnp.asarray(mono),
+                self._gain, gain1, static_controls,
+            )
+            self.fallbacks[member] = self.fallbacks.get(member, 0) + 1
+            if circuit != member:
+                self.fallbacks[circuit] = self.fallbacks.get(circuit, 0) + 1
         out = np.asarray(out)
         dt = time.perf_counter() - t0
         block_dur = T / self.fs
         self._load = 0.9 * self._load + 0.1 * (dt / block_dur)
 
-        self._state[circuit] = state
+        self._state[state_key] = state
         self._dc_state = dc_state
-        self.last_residual[circuit] = float(residual)
+        self.last_residual[member] = residual
+        if circuit != member:
+            self.last_residual[circuit] = residual
         self._gain = gain1
         if multi:
             return np.broadcast_to(out, x.shape).copy()
@@ -294,7 +444,7 @@ class StreamingProcessor:
 
     def reset(self):
         for name, (ckt, _) in self.circuits.items():
-            self._state[name] = ckt.init_state()
+            self._state[self._state_key.get(name, name)] = ckt.init_state()
         self._dc_state = (jnp.zeros(()), jnp.zeros(()))
 
     def set_params(self, circuit: str, params) -> None:
@@ -338,11 +488,22 @@ def make_clipper_processor(
             ckt = make_diode_clipper(root, fs, r_source=r, cap=cap)
             params = {**ckt.init_params(), **root.init_params()}
         elif m.startswith("neural"):
-            if mlp_json is not None:
-                mlp, acts, _ = load_model_json(mlp_json)
+            import os
+
+            try:  # "neural_2x16" -> (2, 16); bare "neural" -> 2x16
+                n_l, width = (int(v) for v in m.split("_")[1].split("x"))
+            except (IndexError, ValueError):
+                n_l, width = 2, 16
+            path = mlp_json or (
+                f"models/pretrained/1N4148 (1U-1D)_{n_l}x{width}"
+                "_pretrained_model.json"
+            )
+            if os.path.exists(path):
+                mlp, acts, _ = load_model_json(path)
                 root, frag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
             else:
-                root = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=16)
+                root = NeuralDiodeRoot(name="dp", n_layers=n_l,
+                                       layer_size=width)
                 frag = root.init_params()
             ckt = make_diode_clipper(root, fs, r_source=r, cap=cap)
             params = {**ckt.init_params(), **frag}
@@ -355,12 +516,14 @@ def make_clipper_processor(
 
     overrides = {}
     if engine == "deer":
+        from ..ops.deer_circuit import fused_deer_neural
         from ..ops.parallel_time_deer import fused_deer_clipper
 
         # (sweeps, omega iters) per root: the omega iteration count must
         # match the scan engine's quality knob so switching engines never
         # changes the model ("approx" = chowdsp-style 1-iter omega)
         cfg_of = {"toms": (8, 3), "approx": (4, 1)}
+        interp = jax.default_backend() != "tpu"
 
         def make_deer(ckt, sweeps, qiters):
             def run(params, state, inputs, static_controls):
@@ -377,21 +540,41 @@ def make_clipper_processor(
                     v, r, params["C"]["C"], d["Is"], d["Vt"] * d["nabla"],
                     d["N_up"], d["N_down"], fs=fs,
                     z0=state["C"]["z"], sweeps=sweeps, quality_iters=qiters,
-                    interpret=jax.default_backend() != "tpu",
+                    interpret=interp,
                 )
                 return out, {"C": {"z": zf}}, res
+
+            return run
+
+        def make_neural_deer(ckt):
+            def run(params, state, inputs, static_controls):
+                v = inputs["Vs"]["v"]
+                if v.shape[0] % 1024:
+                    return ckt.process(
+                        params, state, inputs, static_controls=static_controls
+                    )
+                out, st, res = fused_deer_neural(
+                    ckt, params, v, input_node="Vs",
+                    static_controls=static_controls, state0=state,
+                    interpret=interp,
+                )
+                return out, st, res
 
             return run
 
         for m in circuits:
             if m in cfg_of:
                 overrides[m] = make_deer(circuits[m][0], *cfg_of[m])
+            elif m.startswith("neural"):
+                overrides[m] = make_neural_deer(circuits[m][0])
 
     specs = clipper_param_specs(choices=tuple(circuits))
+    names = list(circuits) + ["clipper"]
     return StreamingProcessor(
-        circuits, fs, param_maps={m: clipper_map for m in circuits},
-        param_schemas={m: specs for m in circuits},
+        circuits, fs, param_maps={m: clipper_map for m in names},
+        param_schemas={m: specs for m in names},
         process_overrides=overrides,
+        groups={"clipper": tuple(circuits)},
     )
 
 
@@ -457,10 +640,12 @@ def make_hpf_processor(
                 overrides[n] = make_deer(circuits[n][0])
 
     specs = hpf_param_specs()
+    all_names = list(circuits) + ["hpf"]
     return StreamingProcessor(
-        circuits, fs, param_maps={n: hpf_map for n in circuits},
-        param_schemas={n: specs for n in circuits},
+        circuits, fs, param_maps={n: hpf_map for n in all_names},
+        param_schemas={n: specs for n in all_names},
         process_overrides=overrides,
+        groups={"hpf": tuple(circuits)},
     )
 
 
@@ -474,11 +659,22 @@ def make_plugin_processor(
     engine: str = "scan",
 ) -> StreamingProcessor:
     """The full reference-plugin circuit set (``DifferentiableWDFPlugin.h:41-43``):
-    diode clipper, multi-diode clipper, and Tube Screamer, with block-rate
-    cutoff/drive parameter maps.  ``clipper_zoo`` selects the clipper's root
-    from the 12-entry model zoo (the reference DiodeClipper's model choice,
-    ``DiodeClipperWDF.h:24-36``), with ``clipper_json`` supplying neural
-    weights; default is the analytic best root (zoo entry 0)."""
+    diode clipper, multi-diode clipper, and Tube Screamer, as model GROUPS —
+    every advertised "model" choice is registered and hot-swappable at block
+    rate with state continuity, exactly the reference's root hot-swap
+    (``DiodeClipperWDF.cpp:32-41``, ``MultiDiodeClipper.cpp:48``,
+    ``CircuitModelGUI.cpp:55-66``):
+
+    - "clipper": all 7 DiodeClipper roots (zoo entries 0-6 — TOMS, approx,
+      five 1U-1D neural sizes), members "clipper/0".."clipper/6";
+    - "multi_diode_clipper": the 5 multi-diode 2x16 nets (zoo 7-11);
+    - "tube_screamer": approx analytic + 2x16 neural
+      (``TubeScreamer.h:73-74``).
+
+    ``clipper_zoo`` picks the clipper group's DEFAULT model choice (0-6);
+    ``clipper_json`` overrides that entry's neural weights; ``mlp_json``
+    overrides the Tube Screamer's neural-model weights.  Neural entries
+    default to the checked-in pretrained zoo (ZOO_MODEL_PATHS)."""
     import diffwdf_tpu as dwdf
     from ..models.diode_clipper import (
         cutoff_to_resistance,
@@ -493,66 +689,84 @@ def make_plugin_processor(
     r = cutoff_to_resistance(cutoff_hz, cap)
     circuits = {}
     param_maps = {}
+    groups = {}
 
-    # clipper (zoo-selectable root; analytic best by default)
-    root, frag = make_root_from_zoo(
-        clipper_zoo if clipper_zoo is not None else 0, json_path=clipper_json
-    )
-    ckt = make_diode_clipper(root, fs, r_source=r, cap=cap)
-    circuits["clipper"] = (ckt, {**ckt.init_params(), **frag})
+    default_zoo = clipper_zoo if clipper_zoo is not None else 0
 
-    # multi-diode clipper: the reference's MultiDiodeClipper exposes the five
-    # multi-config 2x16 neural roots (zoo entries 7-11,
-    # ``MultiDiodeClipper.cpp:48``); use the pretrained zoo JSON when present,
-    # else the 3U-3D analytic root.
-    import os
+    # clipper group: the full 7-root zoo, one circuit per root on the shared
+    # Vs(R) || C tree (state {"C": {"z"}} carried across model switches)
+    clipper_members = []
+    for i in range(7):
+        root, frag = make_root_from_zoo(
+            i, json_path=clipper_json if i == default_zoo else None
+        )
+        ckt_i = make_diode_clipper(root, fs, r_source=r, cap=cap)
+        name = f"clipper/{i}"
+        circuits[name] = (ckt_i, {**ckt_i.init_params(), **frag})
+        clipper_members.append(name)
+    groups["clipper"] = tuple(clipper_members)
+    ckt = circuits[f"clipper/{default_zoo}"][0]  # default member's circuit
 
-    mjson = "models/pretrained/1N4148 (3U-3D)_2x16_pretrained_model.json"
-    if os.path.exists(mjson):
-        mlp, acts, _ = load_model_json(mjson)
-        mroot, mfrag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
-    else:
-        mroot = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_3u3d)
-        mfrag = mroot.init_params()
-    mckt = make_diode_clipper(mroot, fs, r_source=r, cap=cap)
-    circuits["multi_diode_clipper"] = (
-        mckt, {**mckt.init_params(), **mfrag}
-    )
+    # multi-diode group: zoo entries 7-11 (``MultiDiodeClipper.cpp:48``
+    # offsets the model index by +7 into the same WDF)
+    md_members = []
+    for k, i in enumerate(range(7, 12)):
+        root, frag = make_root_from_zoo(i)
+        ckt_i = make_diode_clipper(root, fs, r_source=r, cap=cap)
+        name = f"multi_diode_clipper/{k}"
+        circuits[name] = (ckt_i, {**ckt_i.init_params(), **frag})
+        md_members.append(name)
+    groups["multi_diode_clipper"] = tuple(md_members)
 
     def clipper_map(cutoff_hz):
         return {"Vs": {"R": cutoff_to_resistance(cutoff_hz, cap)}}
 
-    param_maps["clipper"] = clipper_map
-    param_maps["multi_diode_clipper"] = clipper_map
+    for n in clipper_members + md_members + ["clipper", "multi_diode_clipper"]:
+        param_maps[n] = clipper_map
 
-    # tube screamer (analytic or zoo-neural root)
-    if mlp_json is not None:
-        mlp, acts, _ = load_model_json(mlp_json)
-        ts_root, ts_frag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
+    # tube screamer group: approx analytic root (the reference's
+    # wdft::DiodePairT choice) + the 2x16 neural root
+    ts_root0 = dwdf.DiodePairRoot(
+        name="dp", diode=dwdf.diode_1n4148_1u1d, quality="low"
+    )
+    ts0 = make_tube_screamer(ts_root0, fs, drive=drive)
+    circuits["tube_screamer/0"] = (
+        ts0, {**ts0.init_params(), **ts_root0.init_params()}
+    )
+    import os
+
+    ts_json = mlp_json or (
+        "models/pretrained/1N4148 (1U-1D)_2x16_pretrained_model.json"
+    )
+    if os.path.exists(ts_json):
+        mlp, acts, _ = load_model_json(ts_json)
+        ts_root1, ts_frag1 = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
     else:
-        ts_root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
-        ts_frag = ts_root.init_params()
-    ts = make_tube_screamer(ts_root, fs, drive=drive)
-    circuits["tube_screamer"] = (ts, {**ts.init_params(), **ts_frag})
-    param_maps["tube_screamer"] = lambda drive: {"R6": {"R": drive_to_r6(drive)}}
+        ts_root1 = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=16)
+        ts_frag1 = ts_root1.init_params()
+    ts1 = make_tube_screamer(ts_root1, fs, drive=drive)
+    circuits["tube_screamer/1"] = (ts1, {**ts1.init_params(), **ts_frag1})
+    groups["tube_screamer"] = ("tube_screamer/0", "tube_screamer/1")
+    ts_map = lambda drive: {"R6": {"R": drive_to_r6(drive)}}
+    for n in ("tube_screamer/0", "tube_screamer/1", "tube_screamer"):
+        param_maps[n] = ts_map
 
     overrides = {}
     if engine == "deer":
-        # low-latency single-stream serving: the analytic-rooted circuits
-        # run through the fused parallel-in-time kernels (the neural-rooted
-        # ones keep the scan; blocks not divisible by 1024 fall back)
-        from ..ops.deer_circuit import fused_deer_circuit
+        # low-latency single-stream serving: every group member runs through
+        # a fused parallel-in-time kernel (blocks not divisible by 1024 fall
+        # back to the scan at trace time; residual-flagged blocks fall back
+        # at run time via StreamingProcessor.fallback_tol)
+        from ..ops.deer_circuit import fused_deer_circuit, fused_deer_neural
         from ..ops.parallel_time_deer import fused_deer_clipper
 
         interp = jax.default_backend() != "tpu"
-        if (clipper_zoo in (None, 0, 1)) and clipper_json is None:
+
+        def make_clipper_deer(_ckt, _sweeps, _qiters):
             # (sweeps, omega iters) must mirror make_clipper_processor's
             # cfg_of so the engine switch never changes the model: zoo 1
             # ("approx") is the 1-iter omega root in the scan engine too
-            sweeps, qiters = (8, 3) if clipper_zoo in (None, 0) else (4, 1)
-
-            def clipper_deer(params, state, inputs, static_controls,
-                             _ckt=ckt, _sweeps=sweeps, _qiters=qiters):
+            def clipper_deer(params, state, inputs, static_controls):
                 v = inputs["Vs"]["v"]
                 if v.shape[0] % 1024:
                     return _ckt.process(params, state, inputs,
@@ -567,30 +781,68 @@ def make_plugin_processor(
                 )
                 return out, {"C": {"z": zf}}, res
 
-            overrides["clipper"] = clipper_deer
+            return clipper_deer
 
-        if mlp_json is None:  # analytic TS root
-
-            def ts_deer(params, state, inputs, static_controls, _ts=ts):
-                v = inputs["Vin"]["v"]
+        def make_neural_deer(_ckt, _node="Vs"):
+            def neural_deer(params, state, inputs, static_controls):
+                v = inputs[_node]["v"]
                 if v.shape[0] % 1024:
-                    return _ts.process(params, state, inputs,
-                                       static_controls=static_controls)
-                out, st, res = fused_deer_circuit(
-                    _ts, params, v, input_node="Vin",
+                    return _ckt.process(params, state, inputs,
+                                        static_controls=static_controls)
+                out, st, res = fused_deer_neural(
+                    _ckt, params, v, input_node=_node,
                     static_controls=static_controls, state0=state,
                     interpret=interp,
                 )
                 return out, st, res
 
-            overrides["tube_screamer"] = ts_deer
+            return neural_deer
+
+        cfg_of = {0: (8, 3), 1: (4, 1)}
+        for i, name in enumerate(clipper_members):
+            if i in cfg_of:
+                overrides[name] = make_clipper_deer(
+                    circuits[name][0], *cfg_of[i]
+                )
+            else:
+                overrides[name] = make_neural_deer(circuits[name][0])
+        for name in md_members:
+            overrides[name] = make_neural_deer(circuits[name][0])
+
+        def ts_deer(params, state, inputs, static_controls, _ts=ts0):
+            v = inputs["Vin"]["v"]
+            if v.shape[0] % 1024:
+                return _ts.process(params, state, inputs,
+                                   static_controls=static_controls)
+            out, st, res = fused_deer_circuit(
+                _ts, params, v, input_node="Vin",
+                static_controls=static_controls, state0=state,
+                interpret=interp,
+            )
+            return out, st, res
+
+        overrides["tube_screamer/0"] = ts_deer
+        overrides["tube_screamer/1"] = make_neural_deer(ts1, "Vin")
+
+    cl_specs = clipper_param_specs()
+    cl_specs = tuple(
+        dataclasses.replace(s, default_choice=default_zoo)
+        if s.name == "model" else s
+        for s in cl_specs
+    )
+    md_specs = multi_diode_param_specs()
+    ts_specs = tube_screamer_param_specs()
+    schemas = {"clipper": cl_specs, "multi_diode_clipper": md_specs,
+               "tube_screamer": ts_specs}
+    for m in clipper_members:
+        schemas[m] = cl_specs
+    for m in md_members:
+        schemas[m] = md_specs
+    schemas["tube_screamer/0"] = schemas["tube_screamer/1"] = ts_specs
 
     return StreamingProcessor(
         circuits, fs, param_maps=param_maps,
-        param_schemas={
-            "clipper": clipper_param_specs(),
-            "multi_diode_clipper": multi_diode_param_specs(),
-            "tube_screamer": tube_screamer_param_specs(),
-        },
+        param_schemas=schemas,
         process_overrides=overrides,
+        groups=groups,
     )

@@ -72,9 +72,12 @@ def test_param_reflection_per_circuit():
     from diffwdf_tpu.runtime.stream import make_hpf_processor, make_plugin_processor
 
     proc = make_plugin_processor(FS)
+    assert set(proc.surfaces()) == {
+        "clipper", "multi_diode_clipper", "tube_screamer"
+    }
     by = {
         name: {s.name: s for s in proc.param_specs(name)}
-        for name in proc.circuits
+        for name in proc.surfaces()
     }
     # clipper: gain 0..24, skewed cutoff, 7 models (reference list)
     cl = by["clipper"]
@@ -95,7 +98,7 @@ def test_param_reflection_per_circuit():
     assert ts["model"].choices == ("1N4148 Approx", "1N4148 2x16")
     # every block-rate spec's api kwarg is accepted by process_block's mapper
     import inspect
-    for name in proc.circuits:
+    for name in proc.surfaces():
         mapper_args = set(
             inspect.signature(proc.param_maps[name]).parameters
         )
@@ -221,3 +224,86 @@ def test_hpf_processor_cutoff_moves_corner():
     hi = make_hpf_processor(FS).process_block(x, "toms", cutoff_hz=10000.0)
     rms = lambda y: float(np.sqrt(np.mean(np.asarray(y)[4800:] ** 2)))
     assert rms(lo) > 3.0 * rms(hi), (rms(lo), rms(hi))
+
+
+def test_model_hot_swap_mid_stream():
+    """Runtime root hot-swap (``DiodeClipperWDF.cpp:32-41``): the plugin
+    clipper switches among all 7 zoo models at block rate on ONE shared
+    state — the "model" parameter is actionable, selectable by index, schema
+    label, or member name, and the reactive state carries across switches."""
+    from diffwdf_tpu.runtime.stream import make_plugin_processor
+
+    rng = np.random.default_rng(5)
+    x = (1.2 * rng.standard_normal(3 * 512)).astype(np.float32)
+    blocks = [x[i * 512:(i + 1) * 512] for i in range(3)]
+
+    p1 = make_plugin_processor(FS)
+    a0 = p1.process_block(blocks[0], "clipper", model=0)
+    a1 = p1.process_block(blocks[1], "clipper", model="1N4148 2x16")
+    a2 = p1.process_block(blocks[2], "clipper", model=0)
+
+    # member addressing shares the same group state slot -> identical stream
+    p2 = make_plugin_processor(FS)
+    b0 = p2.process_block(blocks[0], "clipper/0")
+    b1 = p2.process_block(blocks[1], "clipper/4")
+    b2 = p2.process_block(blocks[2], "clipper/0")
+    np.testing.assert_array_equal(a0, b0)
+    np.testing.assert_array_equal(a1, b1)
+    np.testing.assert_array_equal(a2, b2)
+
+    # state continuity: block 1 under the swapped-in model differs from the
+    # same block processed cold (fresh state) — the switch did NOT reset
+    p3 = make_plugin_processor(FS)
+    cold = p3.process_block(blocks[1], "clipper", model=4)
+    assert np.max(np.abs(cold - a1)) > 1e-6
+
+    # one shared state slot per group, none per member
+    assert "clipper" in p1._state and "clipper/0" not in p1._state
+
+
+def test_schema_choices_are_all_selectable():
+    """Schema honesty (round-2 VERDICT #1): every "model" choice a processor
+    advertises is selectable on the circuit that advertises it, for every
+    group in the full plugin set."""
+    from diffwdf_tpu.runtime.stream import make_plugin_processor
+
+    proc = make_plugin_processor(FS)
+    x = (0.5 * np.sin(2 * np.pi * 220 * np.arange(256) / FS)).astype(
+        np.float32
+    )
+    for g in proc.surfaces():
+        model_spec = next(
+            s for s in proc.param_specs(g)
+            if s.kind == "choice" and s.api == "circuit"
+        )
+        assert len(model_spec.choices) == len(proc.groups[g])
+        for label in model_spec.choices:
+            out = proc.process_block(x, g, model=label)
+            assert np.all(np.isfinite(out)), (g, label)
+
+
+def test_over_advertising_schema_is_rejected():
+    """A schema whose model choices exceed the selectable set must fail at
+    construction, not silently render a dead dropdown."""
+    import pytest
+    from diffwdf_tpu.runtime.stream import ParamSpec
+
+    circuits = {}
+    for i, q in enumerate(("best", "low")):
+        root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d,
+                                  quality=q)
+        ckt = make_diode_clipper(root, FS)
+        circuits[f"m{i}"] = (ckt, {**ckt.init_params(), **root.init_params()})
+    bad = (ParamSpec("model", "choice",
+                     choices=("a", "b", "c"), api="circuit"),)
+    with pytest.raises(ValueError, match="advertises"):
+        StreamingProcessor(
+            circuits, FS, param_schemas={"g": bad},
+            groups={"g": tuple(circuits)},
+        )
+    # ungrouped circuit advertising unregistered choices also rejected
+    with pytest.raises(ValueError, match="not registered"):
+        StreamingProcessor(
+            circuits, FS,
+            param_schemas={next(iter(circuits)): bad},
+        )
