@@ -50,7 +50,7 @@ def _unpack_time(y, T):
 @functools.partial(
     jax.jit,
     static_argnames=("circuit", "input_node", "sweeps", "relax_passes",
-                     "damping", "interpret"),
+                     "damping", "interpret", "root_override"),
 )
 def fused_deer_circuit(
     circuit,
@@ -64,6 +64,8 @@ def fused_deer_circuit(
     relax_passes: int = 2,
     damping: float = 1.0,
     interpret: bool = False,
+    root_override=None,
+    root_arrays: tuple = (),
 ):
     """Solve ``circuit``'s full sample recursion on one stream, parallel in
     time, inside one Pallas kernel.
@@ -80,6 +82,12 @@ def fused_deer_circuit(
     |df/dz| -> 1) make undamped Newton-over-trajectory oscillate — use
     damping=0.5 with ~3x the sweeps there (reaches ~1e-4, the f32 limit of
     the marginal mode).
+
+    root_override: optional ``(a, R_up, array_views) -> b`` replacing the
+    circuit root's reflect inside the kernel; ``root_arrays`` travel as
+    whole VMEM blocks handed to it (e.g. Kronecker-expanded MLP weights —
+    see :func:`fused_deer_neural`).  The override must be jvp-differentiable
+    (the solver takes the state Jacobian through it).
     """
     (T,) = vin.shape
     assert T % _NB == 0, f"T={T} must be a multiple of {_NB}"
@@ -100,8 +108,13 @@ def fused_deer_circuit(
     n_sc = len(vec)
 
     x = _pack_time(vin.astype(jnp.float32), L)
+    root_arrays = tuple(jnp.asarray(a, jnp.float32) for a in root_arrays)
+    n_root = len(root_arrays)
 
-    def kernel(sc_ref, in_ref, out_ref, zf_ref, res_ref, z_scr, jp_scr, cp_scr):
+    def kernel(sc_ref, in_ref, *rest):
+        root_refs = rest[:n_root]
+        out_ref, zf_ref, res_ref, z_scr, jp_scr, cp_scr = rest[n_root:]
+        root_views = tuple(r[...] for r in root_refs)
         rebuilt = _rebuild_leaves(sc_ref, specs)
         coeffs_k, params_k, static_k = jax.tree_util.tree_unflatten(
             treedef, rebuilt
@@ -125,7 +138,10 @@ def fused_deer_circuit(
             waves: Dict[str, Any] = {}
             a_root = circuit.tree.reflected(coeffs_k, st, controls, waves)
             r_up = coeffs_k[circuit.tree.name]["R"]
-            b_root = circuit.root.reflect(a_root, r_up, params_k, controls)
+            if root_override is not None:
+                b_root = root_override(a_root, r_up, root_views)
+            else:
+                b_root = circuit.root.reflect(a_root, r_up, params_k, controls)
             new_entries = circuit.tree.incident(
                 coeffs_k, st, controls, waves, b_root
             )
@@ -288,6 +304,7 @@ def fused_deer_circuit(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in root_arrays],
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -305,8 +322,61 @@ def fused_deer_circuit(
             pltpu.VMEM((L, S, _SUB, _LANE), jnp.float32),
         ],
         interpret=interpret,
-    )(sc, x)
+    )(sc, x, *root_arrays)
     final_state = jax.tree_util.tree_unflatten(
         s_treedef, [zf[0, k] for k in range(S)]
     )
     return _unpack_time(out, T), final_state, res[0, 0]
+
+
+def fused_deer_neural(
+    circuit,
+    params,
+    vin,
+    *,
+    input_node: str = "Vs",
+    static_controls: Optional[Dict[str, Dict[str, Any]]] = None,
+    state0=None,
+    sweeps: int = 8,
+    relax_passes: int = 2,
+    damping: float = 1.0,
+    interpret: bool = False,
+):
+    """Parallel-in-time solve of a circuit with an NxH NEURAL diode root
+    (``NeuralDiodeRoot``, b = -MLP([a, log R])) — the reference's headline
+    real-time engine (``DiodePairNeuralModel.h:68-73``) served at fused-DEER
+    single-stream latency.
+
+    The MLP rides the MXU inside the kernel via the same Kronecker expansion
+    as ``fused_clipper_neural`` (each (8, 128) trajectory tile holds 1024
+    independent time points, so kron(W^T, I8) matmuls evaluate the root at
+    all of them per pass), and the Newton sweeps' state Jacobian flows
+    through it by ``jax.jvp`` — tanh keeps the tangent one extra matmul.
+
+    Same contract as :func:`fused_deer_circuit` (returns out, final state,
+    residual certificate; T a multiple of 1024).  The MLP weights travel as
+    VMEM blocks, not scalarized SMEM params.
+    """
+    from .fused_circuit import _mlp_root
+    from .fused_clipper import _kron_weights
+
+    coeffs = circuit.adapt(params, static_controls or {})
+    log_r = jnp.log(coeffs[circuit.tree.name]["R"])
+    mlp_params = params[circuit.root.name]
+    _, k1, c1, kh, ch, w3, b3 = _kron_weights(mlp_params, log_r)
+    arrays = (k1, c1, kh, ch, w3, jnp.reshape(b3, (1, 1)))
+    tree_params = {k: v for k, v in params.items() if k != circuit.root.name}
+    return fused_deer_circuit(
+        circuit,
+        tree_params,
+        vin,
+        input_node=input_node,
+        static_controls=static_controls,
+        state0=state0,
+        sweeps=sweeps,
+        relax_passes=relax_passes,
+        damping=damping,
+        interpret=interpret,
+        root_override=_mlp_root,
+        root_arrays=arrays,
+    )

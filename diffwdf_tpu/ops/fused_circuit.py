@@ -101,6 +101,7 @@ def _rebuild_leaves(sc_ref, specs):
         "lanes",
         "interpret",
         "root_override",
+        "return_state_seq",
     ),
 )
 def fused_circuit_process(
@@ -116,6 +117,7 @@ def fused_circuit_process(
     interpret: bool = False,
     root_override=None,
     root_arrays: tuple = (),
+    return_state_seq: bool = False,
 ):
     """Run ``circuit`` over ``vin`` (B, T) entirely inside one Pallas kernel.
 
@@ -128,6 +130,10 @@ def fused_circuit_process(
     circuit root's reflect inside the kernel; ``root_arrays`` are passed as
     whole VMEM blocks and handed to it (e.g. Kronecker-expanded MLP weights
     — see :func:`fused_circuit_process_neural`).
+
+    return_state_seq: additionally return the PRE-step state trajectory
+    [S leaves of (B, T)] — z_{t-1} for every step t, the residual the
+    parallel-BPTT backward (ops.parallel_bptt) linearizes around.
     """
     B, T = vin.shape
     lanes = lanes or auto_lanes(B, T, time_chunk)
@@ -158,9 +164,13 @@ def fused_circuit_process(
 
     n_root_arrays = len(root_arrays)
 
+    n_seq = n_s if return_state_seq else 0
+
     def kernel(sc_ref, in_ref, z0_ref, *rest):
         root_refs = rest[:n_root_arrays]
-        out_ref, zf_ref, z_scr = rest[n_root_arrays:]
+        out_ref, zf_ref = rest[n_root_arrays : n_root_arrays + 2]
+        seq_refs = rest[n_root_arrays + 2 : n_root_arrays + 2 + n_seq]
+        z_scr = rest[-1]
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -178,6 +188,8 @@ def fused_circuit_process(
             st_leaves = [
                 z_scr[pl.ds(k * _SUB, _SUB), :] for k in range(n_s)
             ]
+            for k in range(n_seq):  # pre-step state = the BPTT residual
+                seq_refs[k][0, pl.ds(t * _SUB, _SUB), :] = st_leaves[k]
             st = jax.tree_util.tree_unflatten(s_treedef, st_leaves)
             controls = {k: dict(v2) for k, v2 in static_k.items()}
             controls.setdefault(input_node, {})
@@ -213,7 +225,7 @@ def fused_circuit_process(
             shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
         )
 
-    out, zf = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid=(nb, nt),
         in_specs=[
@@ -239,15 +251,25 @@ def fused_circuit_process(
             pl.BlockSpec(
                 (1, zrows, lanes), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+            *[
+                pl.BlockSpec(
+                    (1, time_chunk * _SUB, lanes),
+                    lambda i, j: (i, j, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                for _ in range(n_seq)
+            ],
         ],
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, jnp.float32),
             jax.ShapeDtypeStruct(z0.shape, jnp.float32),
+            *[jax.ShapeDtypeStruct(x.shape, jnp.float32) for _ in range(n_seq)],
         ],
         scratch_shapes=[pltpu.VMEM((zrows, lanes), jnp.float32)],
         interpret=interpret,
     )(sc, x, z0, *root_arrays)
 
+    out, zf, *seqs = results
     out = _unpack(out, B, T, lanes)
     if n_s:
         zf_leaves = [
@@ -257,6 +279,8 @@ def fused_circuit_process(
         state_f = jax.tree_util.tree_unflatten(s_treedef, zf_leaves)
     else:
         state_f = state0
+    if return_state_seq:
+        return out, state_f, [_unpack(s, B, T, lanes) for s in seqs]
     return out, state_f
 
 
@@ -284,6 +308,7 @@ def fused_circuit_process_neural(
     time_chunk: int = 128,
     lanes: int = 0,
     interpret: bool = False,
+    return_state_seq: bool = False,
 ):
     """Fused execution of ``circuit`` with an NxH neural diode root
     (``NeuralDiodeRoot`` semantics, b = -MLP([a, log R])) — e.g. the Tube
@@ -313,4 +338,5 @@ def fused_circuit_process_neural(
         interpret=interpret,
         root_override=_mlp_root,
         root_arrays=arrays,
+        return_state_seq=return_state_seq,
     )

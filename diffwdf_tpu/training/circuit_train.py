@@ -46,7 +46,9 @@ class CircuitTrainConfig:
     max_chunks: Optional[int] = None  # cap sequences per split (for tests)
     engine: str = "scan"  # "scan" (general BPTT) | "fused" (Pallas forward +
     # associative-scan backward, ops.clipper_train; LPF clipper + neural
-    # root + hoisted per-chunk R only)
+    # root + hoisted per-chunk R only) | "fused_generic" (ops.parallel_bptt:
+    # ANY circuit/root, full param cotangents incl. components; requires
+    # batch-constant impedance controls — no per-row R)
 
 
 def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunks=None,
@@ -166,6 +168,45 @@ def _make_fused_forward(circuit: Circuit, cfg: CircuitTrainConfig):
     return forward
 
 
+def _make_fused_generic_forward(circuit: Circuit, cfg: CircuitTrainConfig):
+    """Forward via the generic differentiable fused engine
+    (ops.parallel_bptt): any circuit topology / root family, exact
+    cotangents for every param.  Requires batch-constant impedance controls
+    (per-row "r"/"r0" streams stay on engine="scan"/"fused"); rows are
+    zero-padded to the kernel's 1024-row tile — the hardware's minimum VPU
+    tile, so sub-1024 batches cost the same cycles either way."""
+    from ..ops.parallel_bptt import make_fused_circuit_train_generic
+
+    input_node = "Vin" if "Vin" in circuit.init_params() else "Vs"
+    f = make_fused_circuit_train_generic(
+        circuit, input_node=input_node,
+        interpret=jax.default_backend() not in ("tpu",),
+    )
+    s_leaves = jax.tree_util.tree_leaves(circuit.init_state())
+    tile = 1024
+
+    def forward(params, batches):
+        assert "r" not in batches and "r0" not in batches, (
+            "fused_generic requires batch-constant impedance controls; "
+            "use engine='fused' (clipper) or 'scan' for per-row R"
+        )
+        v = batches["x"]
+        B = v.shape[0]
+        pad = (-B) % tile
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros((pad, v.shape[1]), v.dtype)])
+        z0 = [
+            jnp.broadcast_to(
+                jnp.asarray(l, jnp.float32).reshape(()), (v.shape[0],)
+            )
+            for l in s_leaves
+        ]
+        out, _ = f(params, v, z0)
+        return out[:B]
+
+    return forward
+
+
 def make_train_step(
     circuit: Circuit,
     cfg: CircuitTrainConfig,
@@ -174,9 +215,11 @@ def make_train_step(
     """Build the jitted (params, opt_state, batches) -> ... training step."""
     opt = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=0.999)
     emphasis = (lambda t: pre_emphasis(t, axis=1)) if cfg.use_pre_emphasis else None
-    fused_forward = (
-        _make_fused_forward(circuit, cfg) if cfg.engine == "fused" else None
-    )
+    fused_forward = None
+    if cfg.engine == "fused":
+        fused_forward = _make_fused_forward(circuit, cfg)
+    elif cfg.engine == "fused_generic":
+        fused_forward = _make_fused_generic_forward(circuit, cfg)
 
     def loss_fn(params, batches):
         if fused_forward is not None:
@@ -284,10 +327,17 @@ def joint_fit_clipper(
     opt_state = opt.init(params)
 
     emphasis = (lambda t: pre_emphasis(t, axis=1)) if cfg.use_pre_emphasis else None
+    generic_forward = (
+        _make_fused_generic_forward(circuit, cfg)
+        if cfg.engine == "fused_generic" else None
+    )
 
     def loss_fn(p, batches):
-        outs = clipper_forward(circuit, p, batches, cfg.checkpoint_scan,
-                               cfg.unroll)
+        if generic_forward is not None:
+            outs = generic_forward(p, batches)
+        else:
+            outs = clipper_forward(circuit, p, batches, cfg.checkpoint_scan,
+                                   cfg.unroll)
         o = outs[:, cfg.skip_samples:]
         t = batches["y"][:, cfg.skip_samples:]
         if emphasis is not None:

@@ -21,6 +21,10 @@ ap.add_argument("--epochs", type=int, default=501)
 ap.add_argument("--duration", type=float, default=16.0, help="train seconds")
 ap.add_argument("--val-duration", type=float, default=4.0)
 ap.add_argument("--platform", choices=("tpu", "cpu"))
+ap.add_argument("--engine", default="scan", choices=("scan", "fused_generic"),
+                help="fused_generic = ops.parallel_bptt (Pallas forward + "
+                     "parallel adjoint; ~an order of magnitude over scan "
+                     "BPTT on TPU)")
 cli = ap.parse_args()
 
 import jax
@@ -55,7 +59,8 @@ root, frag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
 circuit = make_hpf_diode_clipper(root, FS, r_load=R_LOAD, cap=CAP)
 params = {**circuit.init_params(), **frag}
 
-cfg = CircuitTrainConfig(epochs=cli.epochs, batch_size=2048, learning_rate=1e-4)
+cfg = CircuitTrainConfig(epochs=cli.epochs, batch_size=2048,
+                         learning_rate=1e-4, engine=cli.engine)
 tb = make_clipper_batches({"x": vin_tr, "y": vout_tr}, cfg.batch_size)
 vb = make_clipper_batches({"x": vin_va, "y": vout_va}, cfg.batch_size)
 print(f"train {tb['x'].size} samples in {tb['x'].shape[0]} chunks", flush=True)

@@ -1,0 +1,145 @@
+"""Generic differentiable fused engine (ops.parallel_bptt).
+
+Gradcheck target: scan BPTT (jax.grad through ``circuit.process``), the same
+oracle the clipper-only engine (ops.clipper_train) is held to.  Interpret
+mode on CPU; the identical kernel compiles for TPU (bench entry
+``training_step_fused_ts``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import diffwdf_tpu as dwdf
+from diffwdf_tpu.models.diode_clipper import make_hpf_diode_clipper
+from diffwdf_tpu.models.tube_screamer import make_tube_screamer
+from diffwdf_tpu.ops.parallel_bptt import make_fused_circuit_train_generic
+from diffwdf_tpu.roots.neural import NeuralDiodeRoot
+
+FS = 48000.0
+B, T = 1024, 48
+
+
+def _scan_fwd(ckt, node):
+    state0 = ckt.init_state()
+
+    def run(p, v):
+        def one(vv):
+            o, _ = ckt.process(p, state0, {node: {"v": vv}})
+            return o
+
+        return jax.vmap(one)(v)
+
+    return run
+
+
+def _rel_errs(g1, g2):
+    return jax.tree_util.tree_map(
+        lambda a, b: float(
+            jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-12)
+        ),
+        g1, g2,
+    )
+
+
+def test_ts_gradcheck_vs_scan_bptt():
+    """Tube Screamer (R-type stage, 3 reactive states, neural root): the
+    parallel backward matches scan BPTT on EVERY parameter — MLP weights AND
+    circuit components (the zero-cotangent restriction of the clipper-only
+    engine is lifted) — plus the input stream."""
+    root = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=8)
+    ts = make_tube_screamer(root, FS)
+    params = {**ts.init_params(), **root.init_params()}
+    rng = np.random.default_rng(0)
+    vin = jnp.asarray((0.5 * rng.standard_normal((B, T))).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
+
+    f = make_fused_circuit_train_generic(ts, input_node="Vin", interpret=True)
+    z0 = [jnp.zeros((B,), jnp.float32) for _ in range(3)]
+    scan = _scan_fwd(ts, "Vin")
+
+    out, _ = f(params, vin, z0)
+    ref = scan(params, vin)
+    assert float(jnp.max(jnp.abs(out - ref))) < 5e-5
+
+    def loss_fused(p, v):
+        o, _ = f(p, v, z0)
+        return jnp.mean((o - y) ** 2)
+
+    def loss_scan(p, v):
+        return jnp.mean((scan(p, v) - y) ** 2)
+
+    g1, gv1 = jax.grad(loss_fused, argnums=(0, 1))(params, vin)
+    g2, gv2 = jax.grad(loss_scan, argnums=(0, 1))(params, vin)
+    errs = _rel_errs(g1, g2)
+    for leaf in jax.tree_util.tree_leaves(errs):
+        assert leaf < 5e-4, errs
+    # headline parameters to the reference workload: tight
+    assert errs["dp"]["layers"][0]["kernel"] < 1e-4, errs["dp"]
+    assert float(
+        jnp.max(jnp.abs(gv1 - gv2)) / jnp.max(jnp.abs(gv2))
+    ) < 1e-4
+
+
+def test_hpf_analytic_root_gradcheck():
+    """HPF topology with the ANALYTIC diode root: cotangents reach the diode
+    physics (Is, Vt, nabla) and the load resistor through the implicit-omega
+    jvp — no neural root required."""
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d,
+                              quality="best")
+    ckt = make_hpf_diode_clipper(root, FS)
+    params = {**ckt.init_params(), **root.init_params()}
+    rng = np.random.default_rng(3)
+    vin = jnp.asarray((1.0 * rng.standard_normal((B, T))).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
+
+    f = make_fused_circuit_train_generic(ckt, input_node="Vs", interpret=True)
+    z0 = [jnp.zeros((B,), jnp.float32)]
+    scan = _scan_fwd(ckt, "Vs")
+
+    def loss_fused(p):
+        o, _ = f(p, vin, z0)
+        return jnp.mean((o - y) ** 2)
+
+    def loss_scan(p):
+        return jnp.mean((scan(p, vin) - y) ** 2)
+
+    g1 = jax.grad(loss_fused)(params)
+    g2 = jax.grad(loss_scan)(params)
+    errs = _rel_errs(g1, g2)
+    for leaf in jax.tree_util.tree_leaves(errs):
+        assert leaf < 1e-3, errs
+    # physics grads are real, not zero
+    assert float(jnp.max(jnp.abs(g1["dp"]["Is"]))) > 0.0
+
+
+def test_train_step_fused_generic_reduces_loss():
+    """engine='fused_generic' plugs into make_train_step and optimizes the
+    Tube Screamer's neural root against analytic-root targets."""
+    from diffwdf_tpu.training.circuit_train import (
+        CircuitTrainConfig, make_train_step,
+    )
+
+    aroot = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    ts_a = make_tube_screamer(aroot, FS)
+    pa = {**ts_a.init_params(), **aroot.init_params()}
+    rng = np.random.default_rng(5)
+    n_seq, t_seq = 8, 64
+    x = (0.8 * rng.standard_normal((n_seq, t_seq))).astype(np.float32)
+    scan = _scan_fwd(ts_a, "Vin")
+    y = np.asarray(scan(pa, jnp.asarray(x)))
+
+    nroot = NeuralDiodeRoot(name="dp", n_layers=1, layer_size=4)
+    ts_n = make_tube_screamer(nroot, FS)
+    params = {**ts_n.init_params(), **nroot.init_params()}
+    cfg = CircuitTrainConfig(
+        epochs=1, batch_size=t_seq, learning_rate=3e-3, skip_samples=4,
+        engine="fused_generic",
+    )
+    opt, train_step, eval_step = make_train_step(ts_n, cfg)
+    opt_state = opt.init(params)
+    batches = {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+    m0 = eval_step(params, batches)
+    for _ in range(8):
+        params, opt_state, m = train_step(params, opt_state, batches)
+    assert float(m["loss"]) < float(m0["loss"]), (m0, m)

@@ -156,3 +156,43 @@ def test_component_bounds_parity_and_residual_certificate():
     err, res = run(180.0)
     assert res > 1e-2, res  # residual flags non-convergence
     assert res > err / 100  # certificate magnitude tracks the failure
+
+
+def test_residual_triggered_scan_fallback():
+    """Always-correct serving (round-2 VERDICT #2): at the pathological
+    operating point (cutoff mapped to the 180-Ohm element bound, sustained
+    hard clipping, |df/dz| -> 1) the deer engine's residual certificate
+    exceeds the tolerance and the StreamingProcessor recomputes the block
+    with the exact scan — the served audio is scan-exact, the fallback is
+    counted, and the raw residual stays surfaced."""
+    from diffwdf_tpu.models.diode_clipper import cutoff_to_resistance
+    from diffwdf_tpu.runtime.stream import make_clipper_processor
+
+    # cutoff that maps to R = 180 Ohm (the reference Resistor's lower clip
+    # bound, tf_wdf.py:69-75)
+    bad_cutoff = 1.0 / (2.0 * np.pi * 180.0 * 2.2e-9)
+    assert abs(cutoff_to_resistance(bad_cutoff, 2.2e-9) - 180.0) < 1e-6
+
+    rng = np.random.default_rng(21)
+    x = (2.0 * rng.standard_normal(1024)).astype(np.float32)
+
+    p_scan = make_clipper_processor(FS, models=("toms",))
+    p_deer = make_clipper_processor(FS, models=("toms",), engine="deer")
+    a = p_scan.process_block(x, "toms", cutoff_hz=bad_cutoff)
+    b = p_deer.process_block(x, "toms", cutoff_hz=bad_cutoff)
+    assert p_deer.fallbacks.get("toms", 0) == 1
+    assert p_deer.last_residual["toms"] > p_deer.fallback_tol  # surfaced
+    np.testing.assert_allclose(a, b, atol=1e-6)  # served scan-exact
+
+    # benign operating point: no fallback, deer output served directly
+    p_deer2 = make_clipper_processor(FS, models=("toms",), engine="deer")
+    p_deer2.process_block(x, "toms", cutoff_hz=4000.0)
+    assert p_deer2.fallbacks.get("toms", 0) == 0
+    assert p_deer2.last_residual["toms"] < 1e-5
+
+    # fallback disabled: the flagged block is served as-is (residual-only)
+    p_deer3 = make_clipper_processor(FS, models=("toms",), engine="deer")
+    p_deer3.fallback_tol = None
+    c = p_deer3.process_block(x, "toms", cutoff_hz=bad_cutoff)
+    assert p_deer3.fallbacks.get("toms", 0) == 0
+    assert np.max(np.abs(c - a)) > 1e-3  # visibly not the scan output
