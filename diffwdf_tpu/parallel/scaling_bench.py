@@ -84,6 +84,93 @@ def dp_training_scaling(
     )
 
 
+def dp_concurrent_control(
+    device_counts: Sequence[int] = (1, 2, 4, 8),
+    chunks_per_device: int = 4,
+    batch_size: int = 256,
+    fs: float = 8000.0,
+    iters: int = 5,
+) -> Dict[int, Dict[str, float]]:
+    """Control curve for the virtual-mesh DP anomaly: the SAME training
+    step compiled single-device, replicated by hand onto each device with
+    its own batch shard, all dispatched concurrently and host-averaged.
+
+    Mathematically identical data parallelism, but each device runs the
+    single-device executable instead of the mesh-compiled one.  On the CPU
+    backend this isolates the runtime effect (see the suite note): the
+    mesh-compiled reverse-mode scan runs ~10x slower per device than this
+    control, while forward-only code shows no such gap.  On real multi-chip
+    hardware the mesh path is the right one (ICI collectives); this control
+    exists to diagnose virtual-mesh numbers, not to serve as the production
+    path.
+    """
+    from ..data.synthetic import synth_clipper_measurement
+    from ..models.diode_clipper import make_training_clipper
+    from ..roots.neural import NeuralDiodeRoot
+    from ..training.circuit_train import (
+        CircuitTrainConfig,
+        make_clipper_batches,
+        make_train_step,
+    )
+    import diffwdf_tpu as dwdf
+
+    diode_r = 45e3
+    max_n = max(device_counts)
+    need_s = (max_n * chunks_per_device * batch_size + batch_size) / fs
+    vin, vout = synth_clipper_measurement(
+        dwdf.diode_1n4148_1u1d, diode_r, fs=fs, duration_s=need_s
+    )
+    data = {"x": vin, "r": np.full_like(vin, diode_r), "y": vout}
+
+    root = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=16)
+    ckt = make_training_clipper(root, fs)
+    params0 = {**ckt.init_params(), **root.init_params(jax.random.PRNGKey(0))}
+    cfg = CircuitTrainConfig(batch_size=batch_size)
+    opt, train_step, _ = make_train_step(ckt, cfg)
+    s0 = opt.init(params0)
+
+    results: Dict[int, Dict[str, float]] = {}
+    base = None
+    for n in device_counts:
+        if n > len(jax.devices()):
+            continue
+        devs = jax.devices()[:n]
+        all_b = make_clipper_batches(data, batch_size, n * chunks_per_device)
+        reps = []
+        for i, d in enumerate(devs):
+            shard = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x[i * chunks_per_device : (i + 1) * chunks_per_device], d
+                ),
+                all_b,
+            )
+            reps.append(
+                (jax.device_put(params0, d), jax.device_put(s0, d), shard)
+            )
+
+        def step():
+            outs = [train_step(p, s, b) for p, s, b in reps]
+            return [o[2] for o in outs]
+
+        for m in step():
+            jax.tree_util.tree_map(lambda x: x.block_until_ready(), m)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step()
+        for m in out:
+            jax.tree_util.tree_map(lambda x: x.block_until_ready(), m)
+        dt = (time.perf_counter() - t0) / iters
+        rec = {
+            "mean_s": dt,
+            "items_per_s": chunks_per_device * batch_size * n / dt,
+        }
+        if base is None:
+            base = (n, dt)
+        rec["efficiency"] = base[1] / dt if dt > 0 else 0.0
+        results[n] = rec
+    return results
+
+
 def time_block_scaling(
     device_counts: Sequence[int] = (1, 2, 4, 8),
     t_per_device: int = 16384,
@@ -144,16 +231,24 @@ def run_scaling_suite(
     note = None
     if env["virtual_mesh"]:
         note = (
-            "Virtual CPU mesh: all devices share "
-            f"{env['physical_cores']} physical cores, so weak-scaling "
-            "efficiency is bounded by cores/devices — these curves validate "
-            "the sharding structure (collectives present, one compile, flat "
-            "per-device work), not interconnect bandwidth. Real multi-chip "
-            "measurement requires a pod slice."
+            "Virtual CPU mesh. The dp_training drop at n>=2 is a DIAGNOSED "
+            "XLA:CPU runtime artifact, not a sharding defect: executables "
+            "compiled for a multi-device mesh run reverse-mode lax.scan "
+            "~10x slower PER DEVICE than the identical single-device "
+            "compile (reproduced on a minimal toy recurrence; grows with "
+            "scan length; forward-only code shows no gap; shard_map with "
+            "ZERO collectives reproduces it, so it is not collective "
+            "placement; single-threaded Eigen and jax.checkpoint do not "
+            "change it). The dp_control curve is the proof: the SAME "
+            "train step compiled single-device and run concurrently on "
+            "every device scales near-perfectly on the same cores. On a "
+            "real TPU mesh the multi-device executable path this artifact "
+            "lives in does not exist (per-chip programs + ICI collectives)."
         )
     return {
         "env": env,
         "note": note,
         "dp_training": dp_training_scaling(device_counts, iters=iters),
+        "dp_control": dp_concurrent_control(device_counts, iters=iters),
         "time_block": time_block_scaling(device_counts, iters=iters),
     }

@@ -44,6 +44,8 @@ def main(argv=None):
         "out": args.out,
         "n_devices": res["env"]["n_devices"],
         "dp_eff_at_max": res["dp_training"][max(res["dp_training"])]["efficiency"],
+        "dp_control_eff_at_max":
+            res["dp_control"][max(res["dp_control"])]["efficiency"],
         "tb_eff_at_max": res["time_block"][max(res["time_block"])]["efficiency"],
     }))
 

@@ -5,6 +5,9 @@ the checked-in measurement artifact, so prose and artifacts cannot drift
 (round-1 VERDICT weak #4).  Run after every `python bench.py` on the chip:
 
     python scripts/sync_readme_bench.py
+
+``--check`` is the drift guard (run from tests/CI): it rewrites NOTHING and
+exits nonzero if the README table differs from what the artifact implies.
 """
 
 import json
@@ -22,7 +25,7 @@ def fmt_gsps(msps):
     return f"~{msps / 1e3:.1f} Gsamples/s"
 
 
-def main():
+def main(check: bool = False):
     d = json.load(open(os.path.join(ROOT, "BENCH_DETAILS.json")))
     cpu = d["cpu_baseline_neural"]["msamples_per_s"]
     vs = d["neural_2x16"]["msamples_per_s"] / cpu
@@ -62,6 +65,19 @@ def main():
             "Tube Screamer single stream T=16384 (generic fused DEER, "
             "3 states)",
             f"{tss['speedup_fused_deer']:.1f}× over sequential scan", "—"))
+    nss = d.get("neural_single_stream_T16384")
+    if nss:
+        rows.append((
+            "Neural 2x16 single stream T=16384 (fused DEER, Kronecker-MLP "
+            "root)",
+            f"{nss['speedup_fused_deer']:.1f}× over sequential scan", "—"))
+    tft = d.get("training_step_fused_ts")
+    if tft:
+        rows.append((
+            f"Tube Screamer training step (generic fused engine, "
+            f"{tft['n_seq']}×{tft['T']})",
+            f"~{tft['samples_per_s'] / 1e6:.0f} Msamples/s "
+            f"({tft['speedup_vs_scan']:.1f}× vs scan BPTT)", "—"))
     if "clipper_msamples_per_s" in cg:
         rows.append((
             "Generated-C CPU engines (single core)",
@@ -83,9 +99,20 @@ def main():
     i = text.index(BEGIN)
     j = text.index(END)
     new = text[:i] + table + text[j:]
+    if check:
+        if new != text:
+            print(json.dumps({
+                "rows": len(rows),
+                "readme": "DRIFT: README bench table does not match "
+                          "BENCH_DETAILS.json (run sync_readme_bench.py)",
+            }))
+            return 1
+        print(json.dumps({"rows": len(rows), "readme": "in sync"}))
+        return 0
     open(path, "w").write(new)
     print(json.dumps({"rows": len(rows), "readme": "updated"}))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main(check="--check" in sys.argv[1:]))
