@@ -134,6 +134,41 @@ def synth_hpf_measurement(
     return vin, np.asarray(out, dtype=np.float32)
 
 
+def synth_ts_measurement(
+    diode: DiodeConfig,
+    drive: float = 0.5,
+    fs: float = 48000.0,
+    duration_s: float = 1.0,
+    seed: int = 0,
+    amp: float = 0.1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Simulate the Tube Screamer clipping stage (``TubeScreamer.h:24-74``)
+    with the fast-approx analytic diode root (the reference's own analytic
+    TS choice, ``TubeScreamer.h:73``) on a guitar-level multi-tone; returns
+    (vin, vout).  Stands in for a measurement used to circuit-train the TS
+    "1N4148 2x16" neural model in its OWN topology."""
+    from ..models.tube_screamer import make_tube_screamer
+
+    root = DiodePairRoot(name="dp", diode=diode, quality="low")
+    ckt = make_tube_screamer(root, fs, drive=drive)
+    params = {**ckt.init_params(), **root.init_params()}
+
+    n = int(duration_s * fs)
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / fs
+    f0, f1 = 60.0, 3000.0
+    phase = 2 * np.pi * f0 * (f1 / f0) ** (t / duration_s) * t / np.log(f1 / f0)
+    vin = amp * np.sin(phase).astype(np.float32)
+    vin += 0.005 * rng.standard_normal(n).astype(np.float32)
+    env = np.minimum(1.0, t * 20.0).astype(np.float32)
+    vin = (vin * env).astype(np.float32)
+
+    out, _ = jax.jit(lambda p, s, i: ckt.process(p, s, i))(
+        params, ckt.init_state(), {"Vin": {"v": jnp.asarray(vin)}}
+    )
+    return vin, np.asarray(out, dtype=np.float32)
+
+
 def write_reference_csv(path, vin, vout, fs: float):
     """Write a measurement CSV in the reference dataset's on-disk format
     (header rows incl. '#Sample rate: ...Hz' at row 4, '#Samples: N' at row

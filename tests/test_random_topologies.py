@@ -113,10 +113,7 @@ def test_codegen_random_topology(seed):
     assert float(np.max(np.abs(out - ref))) < 2e-4 * max(scale, 1.0), seed
 
 
-@pytest.mark.parametrize("seed", range(4))
-def test_deer_random_topology_with_certificate(seed):
-    """The generic parallel-in-time solver either converges (tiny residual,
-    scan parity) or says so (large residual) — never silently wrong."""
+def _deer_one_seed(seed):
     from diffwdf_tpu.ops.deer_circuit import fused_deer_circuit
 
     ckt = random_circuit(seed)
@@ -131,7 +128,34 @@ def test_deer_random_topology_with_certificate(seed):
     )
     err = float(np.max(np.abs(np.asarray(out) - ref)))
     scale = max(float(np.max(np.abs(ref))), 1.0)
-    if float(res) < 1e-4:  # certificate says converged -> must match scan
-        assert err < 2e-3 * scale, (seed, err, float(res))
+    return err, float(res), scale
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_deer_random_topology_with_certificate(seed):
+    """The generic parallel-in-time solver either converges (tiny residual,
+    scan parity) or says so (large residual) — never silently wrong."""
+    err, res, scale = _deer_one_seed(seed)
+    if res < 1e-4:  # certificate says converged -> must match scan
+        assert err < 2e-3 * scale, (seed, err, res)
     else:  # certificate flags non-convergence; nothing silently wrong
-        assert float(res) > err / 1e3, (seed, err, float(res))
+        assert res > err / 1e3, (seed, err, res)
+
+
+def test_deer_random_topology_convergence_floor():
+    """Round-2 VERDICT weak #6: the certificate contract alone could pass
+    with a solver that self-flags on EVERY circuit.  Pin a convergence-rate
+    floor: at the shipped sweeps/damping, at least 6 of 8 seeded random
+    circuits must actually converge (tiny residual AND scan parity), and a
+    regression that makes the solver diverge broadly turns this red."""
+    converged = []
+    flagged = []
+    for seed in range(8):
+        err, res, scale = _deer_one_seed(seed)
+        if res < 1e-4 and err < 2e-3 * scale:
+            converged.append(seed)
+        else:
+            flagged.append((seed, err, res))
+    assert len(converged) >= 6, (
+        f"converged only on {converged}; flagged: {flagged}"
+    )
