@@ -117,6 +117,9 @@ def make_fused_circuit_train_generic(
     """
     from .fused_circuit import fused_circuit_process, fused_circuit_process_neural
 
+    assert len(circuit.outputs) == 1, (
+        "parallel-BPTT engine assumes one scalar output probe"
+    )
     neural = isinstance(circuit.root, NeuralDiodeRoot)
     root_name = circuit.root.name
     s_treedef = jax.tree_util.tree_structure(circuit.init_state())

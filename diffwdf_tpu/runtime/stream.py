@@ -616,17 +616,23 @@ def make_hpf_processor(
     if engine == "deer":
         # HPF's series capacitor is a marginal slow state mode: the generic
         # fused solver needs damped Newton (see ops.deer_circuit docstring)
-        from ..ops.deer_circuit import fused_deer_circuit
+        from ..ops.deer_circuit import fused_deer_circuit, fused_deer_neural
+        from ..roots.neural import NeuralDiodeRoot as _NDR
 
         interp = jax.default_backend() != "tpu"
 
         def make_deer(ckt):
+            solver = (
+                fused_deer_neural if isinstance(ckt.root, _NDR)
+                else fused_deer_circuit
+            )
+
             def run(params, state, inputs, static_controls):
                 v = inputs["Vs"]["v"]
                 if v.shape[0] % 1024:
                     return ckt.process(params, state, inputs,
                                        static_controls=static_controls)
-                out, st, res = fused_deer_circuit(
+                out, st, res = solver(
                     ckt, params, v, input_node="Vs",
                     static_controls=static_controls, state0=state,
                     sweeps=24, damping=0.5, interpret=interp,
@@ -635,9 +641,8 @@ def make_hpf_processor(
 
             return run
 
-        for n in ("toms", "approx"):
-            if n in circuits:
-                overrides[n] = make_deer(circuits[n][0])
+        for n in circuits:
+            overrides[n] = make_deer(circuits[n][0])
 
     specs = hpf_param_specs()
     all_names = list(circuits) + ["hpf"]

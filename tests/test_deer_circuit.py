@@ -331,3 +331,24 @@ def test_neural_deer_serving_engine_parity():
         np.testing.assert_allclose(a, b, atol=1e-5)
     assert p_deer.fallbacks.get("neural_2x16", 0) == 0
     assert 0.0 <= p_deer.last_residual["neural_2x16"] < 1e-4
+
+
+def test_hpf_neural_deer_serving_parity():
+    """make_hpf_processor(engine='deer') now serves the NEURAL HPF roots
+    (extrapolated/trained) through the damped generic solver too, with
+    scan-engine parity — every member of the HPF group gets the
+    parallel-in-time path."""
+    from diffwdf_tpu.runtime.stream import make_hpf_processor
+
+    fs = 48000.0
+    rng = np.random.default_rng(17)
+    x = (1.0 * rng.standard_normal(2048)).astype(np.float32)
+    p_scan = make_hpf_processor(fs)
+    p_deer = make_hpf_processor(fs, engine="deer")
+    for name in ("extrapolated", "trained"):
+        a = p_scan.process_block(x, name, cutoff_hz=3000.0)
+        b = p_deer.process_block(x, name, cutoff_hz=3000.0)
+        # marginal series-cap mode: damped solver reaches ~1e-4 (see
+        # ops.deer_circuit docstring); fallback handles flagged blocks
+        np.testing.assert_allclose(a, b, atol=5e-4)
+        assert np.all(np.isfinite(b))
