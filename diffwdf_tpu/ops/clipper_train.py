@@ -28,8 +28,12 @@ sample at once: pure MXU work.  The only residual the forward must store is
 a_t, which the training kernel writes as a third output.
 
 Gradient targets: vin, z0, and the MLP parameters.  r_rows (measured pot
-data) and cap get zero cotangents (the in-circuit component-learning
-workloads ride the XLA scan path, training.circuit_train).
+data) and cap get zero cotangents here BY DESIGN: this engine serves the
+measured-data regime where R is data and C is frozen (the reference freezes
+both, ``clipper_pot.py``).  Component-learning workloads that need those
+cotangents use the generic engine (``ops.parallel_bptt``,
+engine="fused_generic"), which differentiates through ``circuit.adapt`` and
+reaches every parameter — components, diode physics, and MLP weights.
 """
 
 from __future__ import annotations
