@@ -96,17 +96,20 @@ def clipper_forward(circuit: Circuit, params, batches, checkpoint=False,
     stream the source resistance is driven per sample and the tree
     re-adapts inside the scan (the reference pot, ``clipper_pot.py:114-117``);
     without one (e.g. the fixed-R HPF topology) adaptation happens once.
+    The drive node is auto-detected ("Vin" for the Tube Screamer, else
+    "Vs"); the r/r0 streams always target the clipper's "Vs" source.
     Returns outputs [n_seq, T].
     """
     state0 = circuit.init_state()
     drive_r = "r" in batches
     hoisted_r = "r0" in batches  # per-chunk constant R: adapt once per chunk
+    node = "Vin" if "Vin" in circuit.init_params() else "Vs"
 
     def run_one(v, r=None):
-        inputs = {"Vs": {"v": v}}
+        inputs = {node: {"v": v}}
         static = None
         if drive_r:
-            inputs["Vs"]["R"] = r
+            inputs["Vs"] = {**inputs.get("Vs", {}), "R": r}
         elif hoisted_r:
             static = {"Vs": {"R": r}}
         out, _ = circuit.process(
