@@ -30,7 +30,7 @@ for attempt in 1 2 3 4; do
       echo "[tpu_run] attempt $attempt wedged after ${SECS}s (lines=$LINES, stalled=$((SECS - LAST_GROW))s); retrying" >> "$LOG.launcher"
       kill $PID 2>/dev/null; sleep 5; kill -9 $PID 2>/dev/null
       WEDGED=1
-      sleep 180
+      sleep 600
       break
     fi
   done
