@@ -22,10 +22,16 @@ import numpy as np
 _RTT = None
 
 
+_LIVE_DETAILS = None
+
+
 def _p(msg):
     """Liveness/progress line (stderr): lets the tpu_run watchdog tell a
-    long kernel compile apart from a wedged chip claim."""
+    long kernel compile apart from a wedged chip claim.  Also flushes the
+    partial details artifact so a wedge keeps completed sections."""
     print(f"# bench: {msg}", file=sys.stderr, flush=True)
+    if _LIVE_DETAILS is not None:
+        _flush_details(_LIVE_DETAILS)
 
 
 def _measure_rtt():
@@ -93,6 +99,16 @@ def _timeit(fn, args_list, n=100, reps=5, label=None):
     return per_call[0]
 
 
+
+def _flush_details(details):
+    """Incremental artifact flush: a wedge/crash mid-bench keeps every
+    completed section (the final write below merges preserved keys)."""
+    try:
+        with open("BENCH_DETAILS.partial.json", "w") as f:
+            json.dump(details, f, indent=2)
+    except Exception:
+        pass
+
 def main():
     import jax
 
@@ -121,6 +137,8 @@ def main():
     B, T = 8192, 2048
 
     details = {"config": {"fs": fs, "B": B, "T": T, "backend": str(jax.devices())}}
+    global _LIVE_DETAILS
+    _LIVE_DETAILS = details
     _p(f"devices {jax.devices()}")
 
     key = jr.PRNGKey(0)
@@ -157,6 +175,7 @@ def main():
         "msamples_per_s": neural_msps,
     }
 
+    _p("analytic")
     # --- analytic (TOMS-equivalent) ---------------------------------------
     aroot = dwdf.DiodePairRoot(name="dp", diode=diode, quality="best")
     ckt_a = make_diode_clipper(aroot, fs, r_src, cap)
@@ -183,6 +202,7 @@ def main():
         "msamples_per_s": B * T / min(dt_xla_a, dt_pl_a) / 1e6,
     }
 
+    _p("distilled cheb")
     # --- distilled (piecewise-Chebyshev) serving path ----------------------
     from diffwdf_tpu.ops.fused_clipper import fused_clipper_cheb
     from diffwdf_tpu.roots.distilled import distill_root
@@ -242,6 +262,7 @@ def main():
             ladder[label] = B * T / dt / 1e6
         details["zoo_ladder_msamples_per_s"] = ladder
 
+    _p("tube screamer batch")
     # --- Tube Screamer (R-type showcase): XLA scan vs generic fused kernel --
     from diffwdf_tpu.models.tube_screamer import make_tube_screamer
     from diffwdf_tpu.ops.fused_circuit import fused_circuit_process
@@ -272,6 +293,7 @@ def main():
         "msamples_per_s": B * T / min(dt_xla_ts, dt_pl_ts) / 1e6,
     }
 
+    _p("training steps")
     # --- training-step throughput (BPTT through the scan, pot-driven) ------
     from diffwdf_tpu.models.diode_clipper import make_training_clipper
     from diffwdf_tpu.training.circuit_train import (

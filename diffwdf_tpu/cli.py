@@ -298,7 +298,10 @@ def cmd_process(args):
     circuit, model = args.circuit, args.model
     if circuit == "clipper" and model is not None and model >= 7:
         circuit, model = "multi_diode_clipper", model - 7
-    clipper_zoo = model if circuit == "clipper" else None
+    # the processor takes the GLOBAL zoo index (0-11) and routes weights to
+    # whichever group owns that entry; process_block uses the group-local
+    # choice computed above
+    clipper_zoo = args.model if args.circuit == "clipper" else None
     clipper_json = args.model_json if (clipper_zoo or 0) >= 2 else None
     proc = make_plugin_processor(
         fs, cutoff_hz=args.cutoff, drive=args.drive, mlp_json=args.model_json,

@@ -110,18 +110,50 @@ ZOO = (
 #: the checked-in pretrained artifacts play that role).  Entries 2-6 are the
 #: five 1U-1D sizes, 7-11 the five multi-diode-config 2x16 nets
 #: (``DiodeClipperWDF.h:24-36`` order).
-ZOO_MODEL_PATHS = {
-    2: "models/pretrained/1N4148 (1U-1D)_2x4_pretrained_model.json",
-    3: "models/pretrained/1N4148 (1U-1D)_2x8_pretrained_model.json",
-    4: "models/pretrained/1N4148 (1U-1D)_2x16_pretrained_model.json",
-    5: "models/pretrained/1N4148 (1U-1D)_4x4_pretrained_model.json",
-    6: "models/pretrained/1N4148 (1U-1D)_4x8_pretrained_model.json",
-    7: "models/pretrained/1N4148 (1U-2D)_2x16_pretrained_model.json",
-    8: "models/pretrained/1N4148 (2U-2D)_2x16_pretrained_model.json",
-    9: "models/pretrained/1N4148 (1U-3D)_2x16_pretrained_model.json",
-    10: "models/pretrained/1N4148 (2U-3D)_2x16_pretrained_model.json",
-    11: "models/pretrained/1N4148 (3U-3D)_2x16_pretrained_model.json",
+def pretrained_model_path(n_layers: int, width: int,
+                          config: str = "1U-1D") -> str:
+    """Canonical checked-in pretrained-zoo artifact path for an NxH net —
+    the single home of the naming convention."""
+    return (f"models/pretrained/1N4148 ({config})_{n_layers}x{width}"
+            "_pretrained_model.json")
+
+
+#: zoo index -> (n_layers, width, diode config) of its default weights
+_ZOO_NEURAL_SPECS = {
+    2: (2, 4, "1U-1D"), 3: (2, 8, "1U-1D"), 4: (2, 16, "1U-1D"),
+    5: (4, 4, "1U-1D"), 6: (4, 8, "1U-1D"),
+    7: (2, 16, "1U-2D"), 8: (2, 16, "2U-2D"), 9: (2, 16, "1U-3D"),
+    10: (2, 16, "2U-3D"), 11: (2, 16, "3U-3D"),
 }
+ZOO_MODEL_PATHS = {
+    i: pretrained_model_path(n, w, cfg)
+    for i, (n, w, cfg) in _ZOO_NEURAL_SPECS.items()
+}
+
+
+def make_neural_root_or_default(
+    name: str,
+    n_layers: int,
+    width: int,
+    json_path: Optional[str] = None,
+    config: str = "1U-1D",
+) -> Tuple[Root, dict]:
+    """NeuralDiodeRoot from ``json_path`` (missing explicit path = error),
+    else the checked-in pretrained default for that size, else random init.
+    Returns (root, params_fragment)."""
+    import os
+
+    if json_path is not None:
+        if not os.path.exists(json_path):
+            raise FileNotFoundError(f"model JSON {json_path!r} not found")
+        mlp, acts, _ = load_model_json(json_path)
+        return NeuralDiodeRoot.from_mlp(name, mlp, acts)
+    default = pretrained_model_path(n_layers, width, config)
+    if os.path.exists(default):
+        mlp, acts, _ = load_model_json(default)
+        return NeuralDiodeRoot.from_mlp(name, mlp, acts)
+    root = NeuralDiodeRoot(name=name, n_layers=n_layers, layer_size=width)
+    return root, root.init_params()
 
 
 #: The HPF circuit's 4 root choices (``HPFDiodeClipper.cpp:29-30``):
@@ -175,9 +207,10 @@ def make_root_from_zoo(
     name: str = "dp",
 ) -> Tuple[Root, dict]:
     """Build root #index of the zoo.  Neural entries load weights from
-    ``json_path`` (reference-schema JSON) when given, else from the
-    checked-in pretrained zoo (ZOO_MODEL_PATHS) when present, else random
-    init.  Returns (root, params_fragment)."""
+    ``json_path`` (reference-schema JSON) when given — a missing explicit
+    path is an error, never a silent random net — else from the checked-in
+    pretrained zoo (ZOO_MODEL_PATHS) when present, else random init.
+    Returns (root, params_fragment)."""
     import os
 
     kind, spec = ZOO[index]
@@ -185,9 +218,16 @@ def make_root_from_zoo(
         root = DiodePairRoot(name=name, diode=diode, quality=spec)
         return root, root.init_params()
     n_layers, width = spec
-    path = json_path or ZOO_MODEL_PATHS.get(index)
-    if path is not None and os.path.exists(path):
-        mlp, acts, _ = load_model_json(path)
+    if json_path is not None:
+        if not os.path.exists(json_path):
+            raise FileNotFoundError(
+                f"model JSON {json_path!r} for zoo entry {index} not found"
+            )
+        mlp, acts, _ = load_model_json(json_path)
+        return NeuralDiodeRoot.from_mlp(name, mlp, acts)
+    default = ZOO_MODEL_PATHS.get(index)
+    if default is not None and os.path.exists(default):
+        mlp, acts, _ = load_model_json(default)
         return NeuralDiodeRoot.from_mlp(name, mlp, acts)
     root = NeuralDiodeRoot(name=name, n_layers=n_layers, layer_size=width)
     return root, root.init_params()

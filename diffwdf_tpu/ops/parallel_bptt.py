@@ -168,15 +168,16 @@ def make_fused_circuit_train_generic(
                              input_node)
         z_prev = seqs  # list of S (B, T) — state BEFORE each step
 
-        # --- J_t, A_t everywhere at once: S basis jvp passes -------------
+        # --- J_t, A_t everywhere at once: ONE linearization, S+1 tangent
+        # pulls (the primal is evaluated once, not per basis vector) -------
+        _, lin = jax.linearize(step, z_prev, vin)
         cols_z, cols_o = [], []
         for k in range(S):
-            tangents = (
+            dz, do = lin(
                 [jnp.full_like(z_prev[0], 1.0 if i == k else 0.0)
                  for i in range(S)],
                 jnp.zeros_like(vin),
             )
-            _, (dz, do) = jax.jvp(step, (z_prev, vin), tangents)
             cols_z.append(jnp.stack(dz, axis=-1))  # (B, T, S): dF_i/dz_k
             cols_o.append(do)  # (B, T): dF_o/dz_k
         J = jnp.stack(cols_z, axis=-1)  # (B, T, S[i], S[k])
@@ -190,11 +191,9 @@ def make_fused_circuit_train_generic(
             [lam_prev[:, 1:], lam_T[:, None, :]], axis=1
         )  # (B, T, S)
 
-        # --- input cotangent: one jvp pass along v ----------------------
-        (_, _), (dz_dv, do_dv) = jax.jvp(
-            step,
-            (z_prev, vin),
-            ([jnp.zeros_like(z) for z in z_prev], jnp.ones_like(vin)),
+        # --- input cotangent: one more tangent pull along v --------------
+        dz_dv, do_dv = lin(
+            [jnp.zeros_like(z) for z in z_prev], jnp.ones_like(vin)
         )
         g_vin = (
             sum(jnp.stack(dz_dv, axis=-1)[..., k] * lam_step[..., k]

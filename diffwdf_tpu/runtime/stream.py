@@ -267,7 +267,13 @@ class StreamingProcessor:
                     f"unknown model {model!r} for {circuit!r}; "
                     f"members {members}"
                 )
-            return members[int(model)]
+            idx = int(model)
+            if not 0 <= idx < len(members):
+                raise KeyError(
+                    f"model index {idx} out of range for {circuit!r}: "
+                    f"{len(members)} choices {members}"
+                )
+            return members[idx]
         if circuit not in self.circuits:
             raise KeyError(
                 f"unknown circuit {circuit!r}; have "
@@ -447,8 +453,12 @@ class StreamingProcessor:
             self._state[self._state_key.get(name, name)] = ckt.init_state()
         self._dc_state = (jnp.zeros(()), jnp.zeros(()))
 
-    def set_params(self, circuit: str, params) -> None:
-        self.circuits[circuit] = (self.circuits[circuit][0], params)
+    def set_params(self, circuit: str, params, model=None) -> None:
+        """Replace the trained params of a circuit — group-aware: for a
+        group name this targets the member selected by ``model`` (the
+        group's default choice when omitted)."""
+        member = self._resolve(circuit, model)
+        self.circuits[member] = (self.circuits[member][0], params)
 
 
 def make_clipper_processor(
@@ -468,8 +478,6 @@ def make_clipper_processor(
     of 1024; other block sizes and the neural root fall back to the scan."""
     import diffwdf_tpu as dwdf
     from ..models.diode_clipper import cutoff_to_resistance, make_diode_clipper
-    from ..nn.serialization import load_model_json
-    from ..roots.neural import NeuralDiodeRoot
 
     cap = 2.2e-9
     r = cutoff_to_resistance(cutoff_hz, cap)
@@ -488,23 +496,15 @@ def make_clipper_processor(
             ckt = make_diode_clipper(root, fs, r_source=r, cap=cap)
             params = {**ckt.init_params(), **root.init_params()}
         elif m.startswith("neural"):
-            import os
+            from ..models.diode_clipper import make_neural_root_or_default
 
             try:  # "neural_2x16" -> (2, 16); bare "neural" -> 2x16
                 n_l, width = (int(v) for v in m.split("_")[1].split("x"))
             except (IndexError, ValueError):
                 n_l, width = 2, 16
-            path = mlp_json or (
-                f"models/pretrained/1N4148 (1U-1D)_{n_l}x{width}"
-                "_pretrained_model.json"
+            root, frag = make_neural_root_or_default(
+                "dp", n_l, width, json_path=mlp_json
             )
-            if os.path.exists(path):
-                mlp, acts, _ = load_model_json(path)
-                root, frag = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
-            else:
-                root = NeuralDiodeRoot(name="dp", n_layers=n_l,
-                                       layer_size=width)
-                frag = root.init_params()
             ckt = make_diode_clipper(root, fs, r_source=r, cap=cap)
             params = {**ckt.init_params(), **frag}
         else:
@@ -676,19 +676,20 @@ def make_plugin_processor(
     - "tube_screamer": approx analytic + 2x16 neural
       (``TubeScreamer.h:73-74``).
 
-    ``clipper_zoo`` picks the clipper group's DEFAULT model choice (0-6);
-    ``clipper_json`` overrides that entry's neural weights; ``mlp_json``
-    overrides the Tube Screamer's neural-model weights.  Neural entries
-    default to the checked-in pretrained zoo (ZOO_MODEL_PATHS)."""
+    ``clipper_zoo`` picks the DEFAULT model choice by GLOBAL zoo index
+    (0-11): 0-6 set the clipper group's default, 7-11 the multi-diode
+    group's (``MultiDiodeClipper.cpp:48``); ``clipper_json`` overrides the
+    selected entry's neural weights; ``mlp_json`` overrides the Tube
+    Screamer's neural-model weights.  Neural entries default to the
+    checked-in pretrained zoo (ZOO_MODEL_PATHS)."""
     import diffwdf_tpu as dwdf
     from ..models.diode_clipper import (
         cutoff_to_resistance,
         make_diode_clipper,
+        make_neural_root_or_default,
         make_root_from_zoo,
     )
     from ..models.tube_screamer import drive_to_r6, make_tube_screamer
-    from ..nn.serialization import load_model_json
-    from ..roots.neural import NeuralDiodeRoot
 
     cap = 2.2e-9
     r = cutoff_to_resistance(cutoff_hz, cap)
@@ -696,27 +697,32 @@ def make_plugin_processor(
     param_maps = {}
     groups = {}
 
-    default_zoo = clipper_zoo if clipper_zoo is not None else 0
+    zoo = clipper_zoo if clipper_zoo is not None else 0
+    if not 0 <= zoo < 12:
+        raise ValueError(f"clipper_zoo must be a zoo index 0-11, got {zoo}")
+    default_clipper = zoo if zoo < 7 else 0
+    default_md = zoo - 7 if zoo >= 7 else 0
 
     # clipper group: the full 7-root zoo, one circuit per root on the shared
     # Vs(R) || C tree (state {"C": {"z"}} carried across model switches)
     clipper_members = []
     for i in range(7):
         root, frag = make_root_from_zoo(
-            i, json_path=clipper_json if i == default_zoo else None
+            i, json_path=clipper_json if (i == zoo) else None
         )
         ckt_i = make_diode_clipper(root, fs, r_source=r, cap=cap)
         name = f"clipper/{i}"
         circuits[name] = (ckt_i, {**ckt_i.init_params(), **frag})
         clipper_members.append(name)
     groups["clipper"] = tuple(clipper_members)
-    ckt = circuits[f"clipper/{default_zoo}"][0]  # default member's circuit
 
     # multi-diode group: zoo entries 7-11 (``MultiDiodeClipper.cpp:48``
     # offsets the model index by +7 into the same WDF)
     md_members = []
     for k, i in enumerate(range(7, 12)):
-        root, frag = make_root_from_zoo(i)
+        root, frag = make_root_from_zoo(
+            i, json_path=clipper_json if (i == zoo) else None
+        )
         ckt_i = make_diode_clipper(root, fs, r_source=r, cap=cap)
         name = f"multi_diode_clipper/{k}"
         circuits[name] = (ckt_i, {**ckt_i.init_params(), **frag})
@@ -738,17 +744,9 @@ def make_plugin_processor(
     circuits["tube_screamer/0"] = (
         ts0, {**ts0.init_params(), **ts_root0.init_params()}
     )
-    import os
-
-    ts_json = mlp_json or (
-        "models/pretrained/1N4148 (1U-1D)_2x16_pretrained_model.json"
+    ts_root1, ts_frag1 = make_neural_root_or_default(
+        "dp", 2, 16, json_path=mlp_json
     )
-    if os.path.exists(ts_json):
-        mlp, acts, _ = load_model_json(ts_json)
-        ts_root1, ts_frag1 = NeuralDiodeRoot.from_mlp("dp", mlp, acts)
-    else:
-        ts_root1 = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=16)
-        ts_frag1 = ts_root1.init_params()
     ts1 = make_tube_screamer(ts_root1, fs, drive=drive)
     circuits["tube_screamer/1"] = (ts1, {**ts1.init_params(), **ts_frag1})
     groups["tube_screamer"] = ("tube_screamer/0", "tube_screamer/1")
@@ -831,11 +829,15 @@ def make_plugin_processor(
 
     cl_specs = clipper_param_specs()
     cl_specs = tuple(
-        dataclasses.replace(s, default_choice=default_zoo)
+        dataclasses.replace(s, default_choice=default_clipper)
         if s.name == "model" else s
         for s in cl_specs
     )
-    md_specs = multi_diode_param_specs()
+    md_specs = tuple(
+        dataclasses.replace(s, default_choice=default_md)
+        if s.name == "model" else s
+        for s in multi_diode_param_specs()
+    )
     ts_specs = tube_screamer_param_specs()
     schemas = {"clipper": cl_specs, "multi_diode_clipper": md_specs,
                "tube_screamer": ts_specs}

@@ -26,7 +26,7 @@ for attempt in 1 2 3 4; do
       LAST_GROW=$SECS
     fi
     if { [ "$LINES" -eq 0 ] && [ "$SECS" -ge "$GRACE" ]; } || \
-       [ $((SECS - LAST_GROW)) -ge "$STALL_S" ]; then
+       { [ "$LINES" -gt 0 ] && [ $((SECS - LAST_GROW)) -ge "$STALL_S" ]; }; then
       echo "[tpu_run] attempt $attempt wedged after ${SECS}s (lines=$LINES, stalled=$((SECS - LAST_GROW))s); retrying" >> "$LOG.launcher"
       kill $PID 2>/dev/null; sleep 5; kill -9 $PID 2>/dev/null
       WEDGED=1

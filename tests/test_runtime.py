@@ -307,3 +307,65 @@ def test_over_advertising_schema_is_rejected():
             circuits, FS,
             param_schemas={next(iter(circuits)): bad},
         )
+
+
+def test_review_fixes_model_routing_and_errors():
+    """Round-3 review regressions: explicit-but-missing model JSON raises;
+    clipper_zoo accepts the global 0-11 index (7-11 set the multi-diode
+    default and receive clipper_json); set_params is group-aware; integer
+    model choices are range-checked."""
+    import pytest
+    from diffwdf_tpu.models.diode_clipper import (
+        make_root_from_zoo, pretrained_model_path,
+    )
+    from diffwdf_tpu.runtime.stream import make_plugin_processor
+
+    # explicit missing JSON is an error, not a silent random net
+    with pytest.raises(FileNotFoundError):
+        make_root_from_zoo(4, json_path="definitely_missing.json")
+    with pytest.raises(FileNotFoundError):
+        make_clipper_processor(FS, models=("neural_2x16",),
+                               mlp_json="nope.json")
+    with pytest.raises(FileNotFoundError):
+        make_plugin_processor(FS, mlp_json="nope.json")
+
+    # global zoo index 9 -> multi-diode group default choice 2, with
+    # clipper_json applied to THAT member
+    import os
+
+    json9 = pretrained_model_path(2, 16, "1U-3D")
+    has9 = os.path.exists(json9)
+    proc = make_plugin_processor(
+        FS, clipper_zoo=9, clipper_json=json9 if has9 else None
+    )
+    md_spec = next(s for s in proc.param_specs("multi_diode_clipper")
+                   if s.name == "model")
+    assert md_spec.default_choice == 2
+    cl_spec = next(s for s in proc.param_specs("clipper")
+                   if s.name == "model")
+    assert cl_spec.default_choice == 0
+    if has9:
+        from diffwdf_tpu.nn.serialization import load_model_json
+
+        mlp, _, _ = load_model_json(json9)
+        got = proc.circuits["multi_diode_clipper/2"][1]["dp"]
+        np.testing.assert_array_equal(
+            np.asarray(got["layers"][0]["kernel"]),
+            np.asarray(mlp["layers"][0]["kernel"]),
+        )
+    with pytest.raises(ValueError, match="0-11"):
+        make_plugin_processor(FS, clipper_zoo=12)
+
+    # group-aware set_params
+    proc2 = make_plugin_processor(FS)
+    _, p0 = proc2.circuits["clipper/0"]
+    proc2.set_params("clipper", p0)  # default member, no KeyError
+    proc2.set_params("clipper", p0, model=3)
+    assert proc2.circuits["clipper/3"][1] is p0
+
+    # integer model choices are range-checked (no negative wrap)
+    x = np.zeros(64, np.float32)
+    with pytest.raises(KeyError, match="out of range"):
+        proc2.process_block(x, "clipper", model=-1)
+    with pytest.raises(KeyError, match="out of range"):
+        proc2.process_block(x, "multi_diode_clipper", model=7)
