@@ -616,12 +616,25 @@ def main():
         mlp_host = jax.tree_util.tree_map(np.asarray, nparams["dp"])
         x_cpu = np.asarray(vins[0][0])  # one stream, T samples
         native.clipper_process_neural(x_cpu, 0.0, mlp_host, r_src, cap, fs)
-        t0 = time.time()
-        reps = 10
-        for _ in range(reps):
+        # best-of-reps: the baseline is "how fast CAN the reference
+        # architecture go on this host"; a mean absorbs transient load from
+        # the bench process's own background threads (observed 3x swings)
+        # and silently inflates vs_baseline.  Min is the honest estimator
+        # and makes the published ratio conservative.
+        reps_s = []
+        for _ in range(30):
+            t0 = time.time()
             native.clipper_process_neural(x_cpu, 0.0, mlp_host, r_src, cap, fs)
-        dt_cpu = (time.time() - t0) / reps
+            reps_s.append(time.time() - t0)
+        reps_s.sort()
+        dt_cpu = reps_s[0]
         cpu_msps = T / dt_cpu / 1e6
+        _STATS["cpu_baseline_neural"] = {
+            "reps": 30,
+            "best_ms": reps_s[0] * 1e3,
+            "median_ms": reps_s[15] * 1e3,
+            "iqr_ms": (reps_s[22] - reps_s[7]) * 1e3,
+        }
         details["cpu_baseline_neural"] = {
             "engine": "native C++ single-core (reference architecture)",
             "ms": dt_cpu * 1e3,
@@ -662,10 +675,12 @@ def main():
             e.process(x_cg)
         rec = {}
         for label, e in (("clipper", eng_c), ("tube_screamer", eng_ts)):
-            t0 = time.time()
-            for _ in range(10):
+            ts_cg = []
+            for _ in range(20):  # best-of-reps (same rationale as above)
+                t0 = time.time()
                 e.process(x_cg)
-            rec[label + "_msamples_per_s"] = len(x_cg) / ((time.time() - t0) / 10) / 1e6
+                ts_cg.append(time.time() - t0)
+            rec[label + "_msamples_per_s"] = len(x_cg) / min(ts_cg) / 1e6
         details["cpu_codegen"] = rec
     except Exception as e:  # no compiler etc.
         details["cpu_codegen"] = {"error": str(e)[:200]}

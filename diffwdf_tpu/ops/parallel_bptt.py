@@ -74,27 +74,44 @@ def _batched_step(circuit, coeffs, params, static_controls, input_node):
     return step
 
 
-def _affine_reverse_scan(M, b, lam_T):
+def _affine_reverse_scan(M, b, lam_T, S):
     """Solve lam_{t-1} = M_t lam_t + b_t for t = T..1 in O(log T) depth.
 
-    M: (B, T, S, S); b: (B, T, S); lam_T: (B, S).
-    Returns lam_prev (B, T, S) where lam_prev[:, i] = lam_i (i = 0..T-1).
+    Layout: the S x S matrices live as NESTED TUPLES of (B, T) arrays, not
+    as (B, T, S, S) tensors — trailing dims of size S (3 for the Tube
+    Screamer) force XLA:TPU into padded tiny-matmul/relayout code paths
+    (measured 7x slower than the sequential scan at B=1024, T=2048); with
+    (B, T) as the minor dims every combine is full-width VPU work.
+
+    M[i][j]: (B, T); b[i]: (B, T); lam_T[i]: (B,).
+    Returns lam_prev, a list of S (B, T) arrays (lam_prev[k][:, t] = lam_t).
     """
 
     def combine(e1, e2):
         # scan order = flipped time; x_k = M_k x_{k-1} + b_k composition
         a1, b1 = e1
         a2, b2 = e2
-        return (
-            jnp.einsum("...ij,...jk->...ik", a2, a1),
-            jnp.einsum("...ij,...j->...i", a2, b1) + b2,
+        a = tuple(
+            tuple(
+                sum(a2[i][k] * a1[k][j] for k in range(S)) for j in range(S)
+            )
+            for i in range(S)
         )
+        bb = tuple(
+            sum(a2[i][k] * b1[k] for k in range(S)) + b2[i] for i in range(S)
+        )
+        return (a, bb)
 
-    Mf = jnp.flip(M, axis=1)
-    bf = jnp.flip(b, axis=1)
+    Mf = tuple(
+        tuple(jnp.flip(M[i][j], axis=1) for j in range(S)) for i in range(S)
+    )
+    bf = tuple(jnp.flip(b[i], axis=1) for i in range(S))
     A, Bc = jax.lax.associative_scan(combine, (Mf, bf), axis=1)
-    lam_f = jnp.einsum("btij,bj->bti", A, lam_T) + Bc
-    return jnp.flip(lam_f, axis=1)
+    lam_f = [
+        sum(A[i][k] * lam_T[k][:, None] for k in range(S)) + Bc[i]
+        for i in range(S)
+    ]
+    return [jnp.flip(l, axis=1) for l in lam_f]
 
 
 def make_fused_circuit_train_generic(
@@ -159,9 +176,7 @@ def make_fused_circuit_train_generic(
     def f_bwd(res, cot):
         params, vin, seqs = res
         g_out, g_zf = cot  # (B, T), list of S (B,)
-        lam_T = jnp.stack(
-            [jnp.asarray(g) for g in g_zf], axis=-1
-        )  # (B, S)
+        lam_T = [jnp.asarray(g) for g in g_zf]  # S x (B,)
 
         coeffs = circuit.adapt(params, static_controls or {})
         step = _batched_step(circuit, coeffs, params, static_controls,
@@ -169,36 +184,38 @@ def make_fused_circuit_train_generic(
         z_prev = seqs  # list of S (B, T) — state BEFORE each step
 
         # --- J_t, A_t everywhere at once: ONE linearization, S+1 tangent
-        # pulls (the primal is evaluated once, not per basis vector) -------
+        # pulls (the primal is evaluated once, not per basis vector).  All
+        # results stay (B, T)-shaped — see _affine_reverse_scan for why ---
         _, lin = jax.linearize(step, z_prev, vin)
-        cols_z, cols_o = [], []
+        Jz = [[None] * S for _ in range(S)]  # Jz[i][k] = dF_i/dz_k  (B, T)
+        Ao = [None] * S  # Ao[k] = dF_o/dz_k  (B, T)
         for k in range(S):
             dz, do = lin(
                 [jnp.full_like(z_prev[0], 1.0 if i == k else 0.0)
                  for i in range(S)],
                 jnp.zeros_like(vin),
             )
-            cols_z.append(jnp.stack(dz, axis=-1))  # (B, T, S): dF_i/dz_k
-            cols_o.append(do)  # (B, T): dF_o/dz_k
-        J = jnp.stack(cols_z, axis=-1)  # (B, T, S[i], S[k])
-        A = jnp.stack(cols_o, axis=-1)  # (B, T, S)
+            for i in range(S):
+                Jz[i][k] = dz[i]
+            Ao[k] = do
 
-        M = jnp.swapaxes(J, -1, -2)  # J^T
-        b = A * g_out[..., None]  # A^T obar
-        lam_prev = _affine_reverse_scan(M, b, lam_T)  # lam_0..lam_{T-1}
+        M = tuple(  # J^T: M[k][i] = dF_i/dz_k
+            tuple(Jz[i][k] for i in range(S)) for k in range(S)
+        )
+        b = tuple(Ao[k] * g_out for k in range(S))  # A^T obar
+        lam_prev = _affine_reverse_scan(M, b, lam_T, S)  # lam_0..lam_{T-1}
         # lam for step i is lam_{i+1}: shift left, lam_T at the end
-        lam_step = jnp.concatenate(
-            [lam_prev[:, 1:], lam_T[:, None, :]], axis=1
-        )  # (B, T, S)
+        lam_step = [
+            jnp.concatenate([lam_prev[k][:, 1:], lam_T[k][:, None]], axis=1)
+            for k in range(S)
+        ]  # S x (B, T)
 
         # --- input cotangent: one more tangent pull along v --------------
         dz_dv, do_dv = lin(
             [jnp.zeros_like(z) for z in z_prev], jnp.ones_like(vin)
         )
         g_vin = (
-            sum(jnp.stack(dz_dv, axis=-1)[..., k] * lam_step[..., k]
-                for k in range(S))
-            + do_dv * g_out
+            sum(dz_dv[k] * lam_step[k] for k in range(S)) + do_dv * g_out
         )
 
         # --- parameter cotangents: grad of a scalar inner product -------
@@ -210,11 +227,11 @@ def make_fused_circuit_train_generic(
             z_new, o = st(z_prev, vin)
             acc = jnp.sum(o * g_out)
             for k in range(S):
-                acc = acc + jnp.sum(z_new[k] * lam_step[..., k])
+                acc = acc + jnp.sum(z_new[k] * lam_step[k])
             return acc
 
         g_params = jax.grad(inner)(params)
-        g_z0 = [lam_prev[:, 0, k] for k in range(S)]
+        g_z0 = [lam_prev[k][:, 0] for k in range(S)]
         return g_params, g_vin, g_z0
 
     f.defvjp(f_fwd, f_bwd)
