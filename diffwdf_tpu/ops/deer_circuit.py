@@ -50,7 +50,7 @@ def _unpack_time(y, T):
 @functools.partial(
     jax.jit,
     static_argnames=("circuit", "input_node", "sweeps", "relax_passes",
-                     "damping", "interpret", "root_override"),
+                     "damping", "interpret", "root_override", "root_smem"),
 )
 def fused_deer_circuit(
     circuit,
@@ -66,6 +66,7 @@ def fused_deer_circuit(
     interpret: bool = False,
     root_override=None,
     root_arrays: tuple = (),
+    root_smem: bool = False,
 ):
     """Solve ``circuit``'s full sample recursion on one stream, parallel in
     time, inside one Pallas kernel.
@@ -85,9 +86,11 @@ def fused_deer_circuit(
 
     root_override: optional ``(a, R_up, array_views) -> b`` replacing the
     circuit root's reflect inside the kernel; ``root_arrays`` travel as
-    whole VMEM blocks handed to it (e.g. Kronecker-expanded MLP weights —
-    see :func:`fused_deer_neural`).  The override must be jvp-differentiable
-    (the solver takes the state Jacobian through it).
+    whole VMEM blocks handed to it — or, with ``root_smem=True``, as SMEM
+    refs the override indexes scalar-by-scalar (small weight tables driving
+    scalar-broadcast VPU math — see :func:`fused_deer_neural`).  The
+    override must be jvp-differentiable (the solver takes the state
+    Jacobian through it).
     """
     (T,) = vin.shape
     assert T % _NB == 0, f"T={T} must be a multiple of {_NB}"
@@ -114,7 +117,11 @@ def fused_deer_circuit(
     def kernel(sc_ref, in_ref, *rest):
         root_refs = rest[:n_root]
         out_ref, zf_ref, res_ref, z_scr, jp_scr, cp_scr = rest[n_root:]
-        root_views = tuple(r[...] for r in root_refs)
+        # SMEM roots index scalars straight off the refs; VMEM roots load
+        # whole blocks once
+        root_views = (
+            root_refs if root_smem else tuple(r[...] for r in root_refs)
+        )
         rebuilt = _rebuild_leaves(sc_ref, specs)
         coeffs_k, params_k, static_k = jax.tree_util.tree_unflatten(
             treedef, rebuilt
@@ -304,7 +311,12 @@ def fused_deer_circuit(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in root_arrays],
+            *[
+                pl.BlockSpec(
+                    memory_space=pltpu.SMEM if root_smem else pltpu.VMEM
+                )
+                for _ in root_arrays
+            ],
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -329,6 +341,34 @@ def fused_deer_circuit(
     return _unpack_time(out, T), final_state, res[0, 0]
 
 
+def _mlp_root_smem(a, r_up, refs):
+    """NxH MLP root as exact-f32 scalar-broadcast VPU math.
+
+    refs (SMEM): w1a (1, H) input-wave column of the first dense layer;
+    c1 (1, H) = W1[logR-col] * logR + b1; w2f (L, H*H) hidden kernels
+    flattened row-major (w2f[l, j*H + i] = W2_l[j, i]); b2 (L, H);
+    w3 (1, H); b3 (1, 1).  ``a`` is the (8, 128) trajectory tile; every
+    operation is a scalar * tile FMA, unrolled at trace time.
+    """
+    w1a, c1, w2f, b2, w3, b3 = refs
+    H = w1a.shape[1]
+    h = [jnp.tanh(w1a[0, j] * a + c1[0, j]) for j in range(H)]
+    for l in range(w2f.shape[0]):
+        h = [
+            jnp.tanh(
+                sum(w2f[l, j * H + i] * h[j] for j in range(H)) + b2[l, i]
+            )
+            for i in range(H)
+        ]
+    y = sum(w3[0, j] * h[j] for j in range(H)) + b3[0, 0]
+    return -y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("circuit", "input_node", "sweeps", "relax_passes",
+                     "damping", "interpret"),
+)
 def fused_deer_neural(
     circuit,
     params,
@@ -347,24 +387,44 @@ def fused_deer_neural(
     real-time engine (``DiodePairNeuralModel.h:68-73``) served at fused-DEER
     single-stream latency.
 
-    The MLP rides the MXU inside the kernel via the same Kronecker expansion
-    as ``fused_clipper_neural`` (each (8, 128) trajectory tile holds 1024
-    independent time points, so kron(W^T, I8) matmuls evaluate the root at
-    all of them per pass), and the Newton sweeps' state Jacobian flows
-    through it by ``jax.jvp`` — tanh keeps the tangent one extra matmul.
+    The MLP runs as exact-f32 scalar-broadcast VPU math (weights in SMEM),
+    NOT as Kronecker MXU matmuls like the forward throughput kernel.  Two
+    hardware-measured reasons (runs/logs/nz_probe*.log):
 
-    Same contract as :func:`fused_deer_circuit` (returns out, final state,
-    residual certificate; T a multiple of 1024).  The MLP weights travel as
-    VMEM blocks, not scalarized SMEM params.
+    - the MXU's default bf16 multiply floors Newton-over-trajectory at a
+      ~1.5e-2 residual (the clipper's |dz'/dz| ~ 0.9 slow mode amplifies
+      per-step input rounding; no sweep count crosses it), and the f32
+      fix-up (``Precision.HIGHEST``) is 6 MXU passes per dot;
+    - the Kron factors are *structured* (kron(w, I8)), so the dense dots
+      waste the MXU anyway: layer 1 is H scalar*tile broadcasts, the H->H
+      hidden layer is H^2 scalar-FMA (8, 128) tile ops, the head is H FMAs
+      — exact f32 on the VPU with zero relayout, unrolled at trace time.
+
+    The Newton sweeps' state Jacobian flows through the same math by
+    ``jax.jvp`` (tanh keeps the tangent one extra FMA chain).  Same contract
+    as :func:`fused_deer_circuit` (returns out, final state, residual
+    certificate; T a multiple of 1024).
+
+    The whole wrapper is jitted: run eagerly, ``circuit.adapt`` + the
+    weight-table prep dispatch dozens of scalar ops per call, a fixed
+    ~5-10 ms host-side floor that dwarfed the 0.1 ms solve and was
+    independent of sweeps/width (measured, runs/logs/nz_{local2,width}.log).
     """
-    from .fused_circuit import _mlp_root
-    from .fused_clipper import _kron_weights
-
+    mlp_params = params[circuit.root.name]
     coeffs = circuit.adapt(params, static_controls or {})
     log_r = jnp.log(coeffs[circuit.tree.name]["R"])
-    mlp_params = params[circuit.root.name]
-    _, k1, c1, kh, ch, w3, b3 = _kron_weights(mlp_params, log_r)
-    arrays = (k1, c1, kh, ch, w3, jnp.reshape(b3, (1, 1)))
+    layers = mlp_params["layers"]
+    assert len(layers) >= 3, "neural deer root needs >= 1 hidden H->H layer"
+    W1, b1 = layers[0]["kernel"], layers[0]["bias"]  # (2, H), (H,)
+    W3, b3 = layers[-1]["kernel"], layers[-1]["bias"]  # (H, 1), (1,)
+    arrays = (
+        W1[0:1, :],  # (1, H): input-wave column
+        (W1[1] * log_r + b1)[None, :],  # (1, H): log-R folded into bias
+        jnp.stack([l["kernel"].reshape(-1) for l in layers[1:-1]]),  # (L, H*H)
+        jnp.stack([l["bias"] for l in layers[1:-1]]),  # (L, H)
+        W3[:, 0][None, :],  # (1, H)
+        b3.reshape(1, 1),
+    )
     tree_params = {k: v for k, v in params.items() if k != circuit.root.name}
     return fused_deer_circuit(
         circuit,
@@ -377,6 +437,7 @@ def fused_deer_neural(
         relax_passes=relax_passes,
         damping=damping,
         interpret=interpret,
-        root_override=_mlp_root,
+        root_override=_mlp_root_smem,
         root_arrays=arrays,
+        root_smem=True,
     )

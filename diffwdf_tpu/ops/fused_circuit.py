@@ -287,7 +287,14 @@ def fused_circuit_process(
 def _mlp_root(a, r_up, views):
     """Kron-expanded NxH MLP root inside the kernel: b = -MLP([a, log R]).
     views: (k1, c1, kh, ch, w3, b3) from ``_kron_weights`` (kh/ch stack the
-    hidden H->H layers along a leading axis; unrolled at trace time)."""
+    hidden H->H layers along a leading axis; unrolled at trace time).
+
+    The dots run the MXU's default single-pass bf16 multiply with f32
+    accumulate — right for the FORWARD kernels, where the golden tests
+    bound the end-to-end error.  Do NOT reuse this root inside an iterative
+    solver: Newton-over-trajectory amplifies the per-step bf16 input
+    rounding into a ~1.5e-2 residual floor (the parallel-in-time path uses
+    ``deer_circuit._mlp_root_smem``, exact-f32 VPU math, instead)."""
     k1, c1, kh, ch, w3, b3 = views
     h = jnp.tanh(jnp.dot(k1, a, preferred_element_type=jnp.float32) + c1)
     for l in range(kh.shape[0]):
