@@ -389,7 +389,7 @@ def fused_deer_neural(
 
     The MLP runs as exact-f32 scalar-broadcast VPU math (weights in SMEM),
     NOT as Kronecker MXU matmuls like the forward throughput kernel.  Two
-    hardware-measured reasons (runs/logs/nz_probe*.log):
+    hardware-measured reasons (runs/probes/neural_deer_probes.json):
 
     - the MXU's default bf16 multiply floors Newton-over-trajectory at a
       ~1.5e-2 residual (the clipper's |dz'/dz| ~ 0.9 slow mode amplifies
@@ -408,7 +408,7 @@ def fused_deer_neural(
     The whole wrapper is jitted: run eagerly, ``circuit.adapt`` + the
     weight-table prep dispatch dozens of scalar ops per call, a fixed
     ~5-10 ms host-side floor that dwarfed the 0.1 ms solve and was
-    independent of sweeps/width (measured, runs/logs/nz_{local2,width}.log).
+    independent of sweeps/width (measured, runs/probes/neural_deer_probes.json).
     """
     mlp_params = params[circuit.root.name]
     coeffs = circuit.adapt(params, static_controls or {})
