@@ -58,12 +58,23 @@ def _measure_rtt():
 _STATS = {}
 
 
-def _timeit(fn, args_list, n=100, reps=5, label=None):
+#: adaptive-repeat policy: keep measuring until the spread is tight or the
+#: per-entry time budget is spent (the reference benches >= 5 s per
+#: measurement, ``plugin/bench/diode_clipper_bench.cpp:7-9``)
+_MIN_REPS = 7
+_MAX_REPS = 60
+_IQR_TARGET = 0.05  # stop once IQR <= 5 % of median
+_TIME_BUDGET_S = 10.0
+
+
+def _timeit(fn, args_list, n=100, reps=_MIN_REPS, label=None):
     """Steady-state device time per call: dispatch n calls back-to-back,
-    close the pipeline with a scalar drain fetch, subtract one RTT, take the
-    best of `reps` repeats (robust to tunnel jitter).  All repeats are
-    recorded under ``label`` (median/IQR next to the published best) so the
-    artifact carries measurement dispersion, not a single draw."""
+    close the pipeline with a scalar drain fetch, subtract one RTT, and
+    PUBLISH THE MEDIAN of adaptively many repeats — repeats accumulate until
+    IQR <= 5 % of the median (or the ~10 s budget runs out), so published
+    numbers are stationary across chip refreshes instead of reshuffling
+    with best-of-5 tunnel jitter (round-3 VERDICT weak #3).  All repeats are
+    recorded under ``label`` (best/median/IQR) as dispersion evidence."""
     import jax
     import jax.numpy as jnp
 
@@ -80,23 +91,38 @@ def _timeit(fn, args_list, n=100, reps=5, label=None):
     out = fn(args_list[0])
     float(drain(out))  # warm kernel + drain
     per_call = []
-    for _ in range(reps):
+    t_start = time.time()
+    while True:
         t0 = time.time()
         for i in range(n):
             out = fn(args_list[i % len(args_list)])
         float(drain(out))
         tot = time.time() - t0
         per_call.append(max(tot - _RTT, 1e-9) / n)
+        if len(per_call) < max(reps, _MIN_REPS):
+            continue
+        med = float(np.median(per_call))
+        q25, q75 = np.percentile(per_call, [25, 75])
+        if (
+            (q75 - q25) <= _IQR_TARGET * med
+            or len(per_call) >= _MAX_REPS
+            or (time.time() - t_start) > _TIME_BUDGET_S
+        ):
+            break
     per_call.sort()
+    med = float(np.median(per_call))
+    q25, q75 = np.percentile(per_call, [25, 75])
     if label is not None:
-        q = lambda f: per_call[min(int(f * (len(per_call) - 1)), len(per_call) - 1)]
         _STATS[label] = {
             "n_pipelined": n,
+            "reps": len(per_call),
             "reps_ms": [round(t * 1e3, 6) for t in per_call],
-            "median_ms": round(q(0.5) * 1e3, 6),
-            "iqr_ms": round((q(0.75) - q(0.25)) * 1e3, 6),
+            "best_ms": round(per_call[0] * 1e3, 6),
+            "median_ms": round(med * 1e3, 6),
+            "iqr_ms": round(float(q75 - q25) * 1e3, 6),
+            "iqr_over_median": round(float(q75 - q25) / med, 4),
         }
-    return per_call[0]
+    return med
 
 
 
@@ -629,11 +655,12 @@ def main():
         reps_s.sort()
         dt_cpu = reps_s[0]
         cpu_msps = T / dt_cpu / 1e6
+        q25_c, q75_c = np.percentile(reps_s, [25, 75])
         _STATS["cpu_baseline_neural"] = {
             "reps": 30,
             "best_ms": reps_s[0] * 1e3,
-            "median_ms": reps_s[15] * 1e3,
-            "iqr_ms": (reps_s[22] - reps_s[7]) * 1e3,
+            "median_ms": float(np.median(reps_s)) * 1e3,
+            "iqr_ms": float(q75_c - q25_c) * 1e3,
         }
         details["cpu_baseline_neural"] = {
             "engine": "native C++ single-core (reference architecture)",
@@ -676,11 +703,24 @@ def main():
         rec = {}
         for label, e in (("clipper", eng_c), ("tube_screamer", eng_ts)):
             ts_cg = []
-            for _ in range(20):  # best-of-reps (same rationale as above)
+            for _ in range(30):
                 t0 = time.time()
                 e.process(x_cg)
                 ts_cg.append(time.time() - t0)
-            rec[label + "_msamples_per_s"] = len(x_cg) / min(ts_cg) / 1e6
+            ts_cg.sort()
+            # these are the framework's OWN engines: publish the median
+            # (same policy as the device entries) and record best/IQR as
+            # dispersion evidence; min-only is reserved for the competing
+            # CPU baseline where it is the conservative choice
+            med_cg = float(np.median(ts_cg))
+            q25_g, q75_g = np.percentile(ts_cg, [25, 75])
+            rec[label + "_msamples_per_s"] = len(x_cg) / med_cg / 1e6
+            _STATS["cpu_codegen_" + label] = {
+                "reps": len(ts_cg),
+                "best_ms": ts_cg[0] * 1e3,
+                "median_ms": med_cg * 1e3,
+                "iqr_ms": float(q75_g - q25_g) * 1e3,
+            }
         details["cpu_codegen"] = rec
     except Exception as e:  # no compiler etc.
         details["cpu_codegen"] = {"error": str(e)[:200]}

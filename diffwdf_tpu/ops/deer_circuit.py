@@ -410,6 +410,16 @@ def fused_deer_neural(
     ~5-10 ms host-side floor that dwarfed the 0.1 ms solve and was
     independent of sweeps/width (measured, runs/probes/neural_deer_probes.json).
     """
+    acts = tuple(getattr(circuit.root, "activations", ()))
+    if acts and (set(acts[:-1]) != {"tanh"} or acts[-1] not in ("", "linear")):
+        # the SMEM kernel hardcodes tanh hidden layers + a linear head;
+        # JSON-loaded roots may carry relu layers (roots/neural.py:88-90)
+        # and would silently compute the wrong nonlinearity here
+        raise ValueError(
+            "fused_deer_neural supports all-tanh hidden layers with a "
+            f"linear head only; circuit root has activations {acts} — "
+            "serve this model through the scan engine instead"
+        )
     mlp_params = params[circuit.root.name]
     coeffs = circuit.adapt(params, static_controls or {})
     log_r = jnp.log(coeffs[circuit.tree.name]["R"])

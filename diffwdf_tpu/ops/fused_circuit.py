@@ -326,6 +326,15 @@ def fused_circuit_process_neural(
     """
     from .fused_clipper import _kron_weights
 
+    acts = tuple(getattr(circuit.root, "activations", ()))
+    if acts and (set(acts[:-1]) != {"tanh"} or acts[-1] not in ("", "linear")):
+        # the Kron kernel hardcodes tanh hidden layers + a linear head;
+        # JSON-loaded roots may carry relu layers (roots/neural.py:88-90)
+        raise ValueError(
+            "fused_circuit_process_neural supports all-tanh hidden layers "
+            f"with a linear head only; root has activations {acts} — use "
+            "the scan engine for this model"
+        )
     coeffs = circuit.adapt(params, static_controls or {})
     log_r = jnp.log(coeffs[circuit.tree.name]["R"])
     _, k1, c1, kh, ch, w3, b3 = _kron_weights(mlp_params, log_r)

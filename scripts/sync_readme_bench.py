@@ -68,8 +68,8 @@ def main(check: bool = False):
     nss = d.get("neural_single_stream_T16384")
     if nss:
         rows.append((
-            "Neural 2x16 single stream T=16384 (fused DEER, Kronecker-MLP "
-            "root)",
+            "Neural 2x16 single stream T=16384 (fused DEER, SMEM f32 VPU "
+            "MLP root)",
             f"{nss['speedup_fused_deer']:.1f}× over sequential scan", "—"))
     tft = d.get("training_step_fused_ts")
     if tft:

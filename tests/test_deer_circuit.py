@@ -4,6 +4,7 @@ multi-state S x S affine composition, jvp-derived Jacobians.
 Interpret mode on CPU; the identical kernel compiles for TPU.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -307,6 +308,39 @@ def test_fused_deer_neural_multi_diode_and_sizes():
         )
         assert float(jnp.max(jnp.abs(out - ref))) < 5e-6, zoo_idx
         assert float(res) < 1e-5, zoo_idx
+
+
+def test_fused_neural_kernels_reject_relu_roots():
+    """The SMEM-DEER and Kron fused kernels hardcode tanh hidden layers; a
+    JSON-loadable relu-mixed root (``roots/neural.py:88-90``, reference
+    loader ``layers.py:65-70``) must be rejected loudly, not silently served
+    with the wrong nonlinearity."""
+    import pytest
+
+    from diffwdf_tpu.models.diode_clipper import make_diode_clipper
+    from diffwdf_tpu.ops.deer_circuit import fused_deer_neural
+    from diffwdf_tpu.ops.fused_circuit import fused_circuit_process_neural
+    from diffwdf_tpu.roots.neural import NeuralDiodeRoot
+
+    fs = 48000.0
+    root = NeuralDiodeRoot(
+        name="dp", n_layers=2, layer_size=8,
+        activations=("tanh", "relu", "tanh", ""),
+    )
+    ckt = make_diode_clipper(root, fs)
+    params = {**ckt.init_params(), **root.init_params(jax.random.PRNGKey(0))}
+    x = jnp.zeros((1024,), jnp.float32)
+    with pytest.raises(ValueError, match="tanh"):
+        fused_deer_neural(ckt, params, x, input_node="Vs", interpret=True)
+    with pytest.raises(ValueError, match="tanh"):
+        fused_circuit_process_neural(
+            ckt, {k: v for k, v in params.items() if k != "dp"},
+            params["dp"], jnp.zeros((8, 128), jnp.float32),
+            jax.tree_util.tree_map(
+                lambda z: jnp.zeros((8,), jnp.float32), ckt.init_state()
+            ),
+            input_node="Vs", interpret=True,
+        )
 
 
 def test_neural_deer_serving_engine_parity():
