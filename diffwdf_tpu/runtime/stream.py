@@ -448,6 +448,90 @@ class StreamingProcessor:
             return np.broadcast_to(out, x.shape).copy()
         return out
 
+    def warmup(self, block_sizes, circuits=None,
+               block_params: Optional[Dict[str, Dict[str, Any]]] = None
+               ) -> Dict[str, Any]:
+        """Pre-compile every (member, block size, engine variant) block
+        function so the FIRST streamed block runs at steady-state latency.
+
+        The reference engine is real-time safe from sample one because
+        ``prepareToPlay`` does all setup up front
+        (``DifferentiableWDFPlugin.cpp:27-38``; compile-time WDF templates +
+        fixed-size RTNeural models, ``DiodePairNeuralModel.h:11-40``).  Here
+        the analogue of "setup" is XLA compilation: without this call the
+        first block at a new size, the first hot-swap to an uncompiled group
+        member, and the first residual-triggered fallback each stall the
+        stream for a full compile.
+
+        block_sizes: iterable of block lengths to compile.
+        circuits: served names (groups and/or circuit names; default = all
+        surfaces).  Group names expand to every member, so every hot-swap
+        target is compiled.
+        block_params: optional {served_name: {kwarg: value}} exercised
+        through the circuit's param map; by default the registered schema's
+        float defaults are used (so the compiled call shape matches real
+        ``process_block(..., cutoff_hz=...)`` usage), plus the bare
+        no-block-params shape.  For each member with a parallel-in-time
+        override the exact-scan fallback variant is compiled too.
+
+        Returns {"n_compiled": int, "seconds": float, "keys": [...]}.
+        Processor state (circuit state, DC blocker, gain) is untouched.
+        """
+        t0 = time.perf_counter()
+        if circuits is None:
+            circuits = self.surfaces()
+        members = []  # (served_name, member_name)
+        for c in circuits:
+            if c in self.groups:
+                members.extend((c, m) for m in self.groups[c])
+            else:
+                self._resolve(c, None)  # raises on unknown names
+                members.append((c, c))
+
+        def _default_block_params(served):
+            mapper = self.param_maps.get(served)
+            if mapper is None:
+                return None
+            import inspect
+
+            args = set(inspect.signature(mapper).parameters)
+            kw = {}
+            for s in self.param_specs(served):
+                if s.kind == "float" and s.api in args:
+                    kw[s.api] = s.default
+            return kw if set(kw) == args else None
+
+        compiled = []
+        for served, member in members:
+            _, params = self.circuits[member]
+            state = self._state[self._state_key.get(member, member)]
+            mapper = self.param_maps.get(member) or self.param_maps.get(served)
+            ctl_variants = [{}]
+            kw = (block_params or {}).get(served)
+            if kw is None:
+                kw = _default_block_params(served)
+            if kw and mapper is not None:
+                ctl_variants.append(mapper(**kw))
+            variants = [True]
+            if (member in self.process_overrides
+                    and self.fallback_tol is not None):
+                variants.append(False)  # the exact-scan fallback path
+            for T in block_sizes:
+                x = jnp.zeros((int(T),), jnp.float32)
+                for use_override in variants:
+                    fn = self._block_fn(member, int(T), use_override)
+                    for ctl in ctl_variants:
+                        out = fn(params, state, self._dc_state, x, 1.0, 1.0,
+                                 ctl)
+                        jax.block_until_ready(out)
+                        compiled.append((member, int(T), use_override,
+                                         bool(ctl)))
+        return {
+            "n_compiled": len(compiled),
+            "seconds": time.perf_counter() - t0,
+            "keys": compiled,
+        }
+
     def reset(self):
         for name, (ckt, _) in self.circuits.items():
             self._state[self._state_key.get(name, name)] = ckt.init_state()

@@ -78,6 +78,13 @@ def main(check: bool = False):
             f"{tft['n_seq']}×{tft['T']})",
             f"~{tft['samples_per_s'] / 1e6:.0f} Msamples/s "
             f"({tft['speedup_vs_scan']:.1f}× vs scan BPTT)", "—"))
+    sw = d.get("serving_warmup")
+    if sw and "cold_first_block_ms" in sw:
+        rows.append((
+            f"Serving first block (T={sw['block']}) after `warmup()`",
+            f"{sw['warmed_first_block_ms']:.0f} ms (steady "
+            f"{sw['steady_block_ms']:.0f} ms; cold compile "
+            f"{sw['cold_first_block_ms'] / 1e3:.1f} s)", "—"))
     if "clipper_msamples_per_s" in cg:
         rows.append((
             "Generated-C CPU engines (single core)",

@@ -8,7 +8,11 @@ from diffwdf_tpu.models.diode_clipper import (
     make_diode_clipper,
     make_hpf_diode_clipper,
 )
-from diffwdf_tpu.runtime.stream import StreamingProcessor, make_clipper_processor
+from diffwdf_tpu.runtime.stream import (
+    StreamingProcessor,
+    make_clipper_processor,
+    make_plugin_processor,
+)
 
 FS = 48000.0
 
@@ -369,3 +373,51 @@ def test_review_fixes_model_routing_and_errors():
         proc2.process_block(x, "clipper", model=-1)
     with pytest.raises(KeyError, match="out of range"):
         proc2.process_block(x, "multi_diode_clipper", model=7)
+
+
+def test_warmup_precompiles_all_block_variants():
+    """StreamingProcessor.warmup: after it, the first block of every group
+    member (including the hot-swap targets and the residual-fallback
+    variant) hits an already-compiled function — no compile, no retrace —
+    matching the reference's prepareToPlay contract
+    (``DifferentiableWDFPlugin.cpp:27-38``)."""
+    proc = make_plugin_processor(FS, engine="deer")
+    info = proc.warmup([512], circuits=("clipper",))
+    assert info["n_compiled"] > 0 and info["seconds"] > 0
+    members = proc.groups["clipper"]
+    for m in members:
+        assert (m, 512, True) in proc._fns, m
+        if m in proc.process_overrides and proc.fallback_tol is not None:
+            assert (m, 512, False) in proc._fns, (m, "fallback variant")
+    keys_before = set(proc._fns)
+    sizes = {k: proc._fns[k]._cache_size() for k in keys_before}
+    assert all(v >= 1 for v in sizes.values())
+
+    x = np.zeros(512, np.float32)
+    for i in range(len(members)):  # hot-swap through every member
+        proc.process_block(x, "clipper", model=i, cutoff_hz=4000.0)
+    assert set(proc._fns) == keys_before, "process_block compiled a new fn"
+    for k in keys_before:
+        assert proc._fns[k]._cache_size() == sizes[k], (k, "retraced")
+
+
+def test_warmup_leaves_stream_state_untouched():
+    """warmup must not advance the stream: state, DC blocker and gain are
+    bit-identical before/after, and output of a subsequent block matches a
+    never-warmed processor's."""
+    rng = np.random.default_rng(3)
+    x = (0.5 * rng.standard_normal(256)).astype(np.float32)
+    a = make_plugin_processor(FS)
+    b = make_plugin_processor(FS)
+    b.warmup([256, 512], circuits=("clipper",))
+    ya = a.process_block(x, "clipper", gain_db=2.0)
+    yb = b.process_block(x, "clipper", gain_db=2.0)
+    np.testing.assert_array_equal(ya, yb)
+
+
+def test_warmup_rejects_unknown_circuit():
+    import pytest
+
+    proc = make_plugin_processor(FS)
+    with pytest.raises(KeyError):
+        proc.warmup([256], circuits=("nope",))
