@@ -113,7 +113,18 @@ def ensemble_process(
         out, _ = circuit.process(params, state0, inputs)
         return out
 
-    fn = jax.jit(jax.vmap(run_one))
+    fn = jax.vmap(run_one)
+    if mesh is not None:
+        # experts sharded over the mesh data axis (same partitioning
+        # contract as sweep_process: XLA partitions the vmap, outputs land
+        # sharded so a downstream reduce stays on-device)
+        sharding = NamedSharding(mesh, P("data"))
+        mlp_params_stack = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), mlp_params_stack
+        )
+        fn = jax.jit(fn, out_shardings=sharding)
+    else:
+        fn = jax.jit(fn)
     return fn(mlp_params_stack)
 
 

@@ -161,6 +161,22 @@ def test_ensemble_over_model_zoo(devices8):
     assert float(jnp.max(jnp.abs(outs[0] - outs[1]))) > 1e-6
 
 
+def test_ensemble_sharded_over_mesh(devices8):
+    """ensemble_process with a mesh shards the expert axis (it previously
+    ignored the mesh argument); numbers match the unsharded run."""
+    sizes, acts = mlp_arch(1, 4)
+    mlps = [mlp_init(jax.random.PRNGKey(i), sizes) for i in range(8)]
+    stack = stack_mlp_params(mlps)
+    T = 64
+    vin = jnp.asarray(np.random.default_rng(0).normal(size=T).astype(np.float32))
+    factory = lambda root: make_diode_clipper(root, FS)
+    ref = ensemble_process(factory, stack, acts, {"Vs": {"v": vin}})
+    mesh = make_mesh((8, 1), ("data", "time"))
+    outs = ensemble_process(factory, stack, acts, {"Vs": {"v": vin}}, mesh=mesh)
+    assert outs.shape == (8, T)
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(ref), atol=1e-6)
+
+
 def test_scaling_harness(devices8):
     """Weak-scaling measurement machinery on the virtual mesh (numbers are
     not meaningful on CPU; the harness behavior is what's under test)."""
