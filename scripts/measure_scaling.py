@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING_r02.json")
+    ap.add_argument("--out", default="SCALING_r04.json")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--virtual", type=int, default=8,
                     help="force an N-virtual-device CPU mesh (0 = use the "
@@ -47,6 +47,8 @@ def main(argv=None):
         "dp_control_eff_at_max":
             res["dp_control"][max(res["dp_control"])]["efficiency"],
         "tb_eff_at_max": res["time_block"][max(res["time_block"])]["efficiency"],
+        "tb_control_eff_at_max":
+            res["time_block_control"][max(res["time_block_control"])]["efficiency"],
     }))
 
 
