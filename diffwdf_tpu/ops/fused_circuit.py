@@ -102,6 +102,7 @@ def _rebuild_leaves(sc_ref, specs):
         "interpret",
         "root_override",
         "return_state_seq",
+        "seq_packed",
     ),
 )
 def fused_circuit_process(
@@ -118,6 +119,7 @@ def fused_circuit_process(
     root_override=None,
     root_arrays: tuple = (),
     return_state_seq: bool = False,
+    seq_packed: bool = False,
 ):
     """Run ``circuit`` over ``vin`` (B, T) entirely inside one Pallas kernel.
 
@@ -280,6 +282,11 @@ def fused_circuit_process(
     else:
         state_f = state0
     if return_state_seq:
+        # seq_packed hands the trajectory to the Pallas backward kernel in
+        # the kernels' native (nb, T*8, lanes) layout, skipping an unpack/
+        # repack transpose round trip per state leaf
+        if seq_packed:
+            return out, state_f, list(seqs)
         return out, state_f, [_unpack(s, B, T, lanes) for s in seqs]
     return out, state_f
 
@@ -316,6 +323,7 @@ def fused_circuit_process_neural(
     lanes: int = 0,
     interpret: bool = False,
     return_state_seq: bool = False,
+    seq_packed: bool = False,
 ):
     """Fused execution of ``circuit`` with an NxH neural diode root
     (``NeuralDiodeRoot`` semantics, b = -MLP([a, log R])) — e.g. the Tube
@@ -355,4 +363,5 @@ def fused_circuit_process_neural(
         root_override=_mlp_root,
         root_arrays=arrays,
         return_state_seq=return_state_seq,
+        seq_packed=seq_packed,
     )

@@ -45,6 +45,8 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..roots.neural import NeuralDiodeRoot
 
@@ -114,6 +116,206 @@ def _affine_reverse_scan(M, b, lam_T, S):
     return [jnp.flip(l, axis=1) for l in lam_f]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("circuit", "input_node", "time_chunk", "lanes",
+                     "interpret", "root_override", "root_smem", "n_state"),
+)
+def _fused_backward_kernel(
+    circuit,
+    params,
+    vin_p,
+    g_out_p,
+    z_prev_p,
+    lam_T_p,
+    *,
+    input_node: str,
+    static_controls,
+    time_chunk: int,
+    lanes: int,
+    interpret: bool,
+    root_override=None,
+    root_arrays: tuple = (),
+    root_smem: bool = False,
+    n_state: int = 1,
+):
+    """Reverse adjoint of the circuit recurrence as ONE Pallas kernel.
+
+    Solves lam_{t-1} = J_t^T lam_t + A_t^T obar_t sequentially over time
+    (vectorized over the batch tile — the same structure that makes the
+    forward kernel fast), with J_t = dF_z/dz and A_t = dF_o/dz computed
+    INLINE at the stored trajectory by S+1 jvp basis pulls of the circuit
+    step traced in the kernel body (the DEER kernels' ``f_and_jac``
+    pattern).  This replaces the round-3 XLA backward — S+1 whole-array
+    linearize pulls plus an ``associative_scan`` over S^2+S (B, T) arrays
+    (11 combine levels of HBM traffic) — with a single pass that touches
+    each trajectory element once.
+
+    All arrays are in the fused kernels' packed layout ((nb, T*8, lanes),
+    ``fused_clipper._pack``); time block j of the grid maps to time chunk
+    nt-1-j so the carried adjoint runs backwards with zero relayout.
+
+    Returns (lam_step list of S packed (nb, T*8, lanes) — lam_t for step t,
+    g_vin packed, g_z0 (nb, S*8, lanes)).
+    """
+    from .fused_circuit import _classify_leaves, _rebuild_leaves
+
+    _SUB = 8
+    nb, TS8, _lanes = vin_p.shape
+    assert _lanes == lanes
+    T = TS8 // _SUB
+    # VMEM budget: (2 + S) in + (S + 1) out time-blocked tiles, double
+    # buffered -> keep tc * lanes small enough that they all fit
+    S = n_state
+    budget = 65536 // (2 * S + 3)
+    while time_chunk > 8 and (time_chunk * lanes > budget or T % time_chunk):
+        time_chunk //= 2
+    assert T % time_chunk == 0, (T, time_chunk)
+    nt = T // time_chunk
+
+    coeffs = circuit.adapt(params, static_controls or {})
+    bundle = (coeffs, params, static_controls or {})
+    leaves, treedef = jax.tree_util.tree_flatten(bundle)
+    vec, specs = _classify_leaves(leaves)
+    sc = jnp.stack(vec).astype(jnp.float32)[None, :]
+
+    s_treedef = jax.tree_util.tree_structure(circuit.init_state())
+    root_arrays = tuple(jnp.asarray(a, jnp.float32) for a in root_arrays)
+    n_root = len(root_arrays)
+
+    def kernel(sc_ref, in_ref, go_ref, *rest):
+        zp_refs = rest[:S]
+        lamT_ref = rest[S]
+        root_refs = rest[S + 1 : S + 1 + n_root]
+        lam_refs = rest[S + 1 + n_root : 2 * S + 1 + n_root]
+        gv_ref = rest[2 * S + 1 + n_root]
+        gz0_ref = rest[2 * S + 2 + n_root]
+        lam_scr = rest[-1]
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            lam_scr[...] = lamT_ref[0]
+
+        rebuilt = _rebuild_leaves(sc_ref, specs)
+        coeffs_k, params_k, static_k = jax.tree_util.tree_unflatten(
+            treedef, rebuilt
+        )
+        root_views = (
+            root_refs if root_smem else tuple(r[...] for r in root_refs)
+        )
+
+        def step_fn(st_vec, v):
+            st = jax.tree_util.tree_unflatten(s_treedef, list(st_vec))
+            controls = {k: dict(vv) for k, vv in static_k.items()}
+            controls.setdefault(input_node, {})
+            controls[input_node]["v"] = v
+            waves: Dict[str, Any] = {}
+            a_root = circuit.tree.reflected(coeffs_k, st, controls, waves)
+            r_up = coeffs_k[circuit.tree.name]["R"]
+            if root_override is not None:
+                b_root = root_override(a_root, r_up, root_views)
+            else:
+                b_root = circuit.root.reflect(a_root, r_up, params_k, controls)
+            new_entries = circuit.tree.incident(
+                coeffs_k, st, controls, waves, b_root
+            )
+            new_state = {**st, **new_entries}
+            waves[circuit.root.name] = (a_root, b_root)
+            out_leaves = jax.tree_util.tree_leaves(new_state)[:S]
+            return list(out_leaves), circuit.probe(waves)
+
+        def body(tr, _):
+            t = time_chunk - 1 - tr  # reversed within the chunk
+            v = in_ref[0, pl.ds(t * _SUB, _SUB), :]
+            go = go_ref[0, pl.ds(t * _SUB, _SUB), :]
+            zp = [zp_refs[k][0, pl.ds(t * _SUB, _SUB), :] for k in range(S)]
+            lam = [lam_scr[pl.ds(k * _SUB, _SUB), :] for k in range(S)]
+            # lam_step[t] = lam_t (post-step cotangent; written pre-update)
+            for k in range(S):
+                lam_refs[k][0, pl.ds(t * _SUB, _SUB), :] = lam[k]
+            # one linearization of the step at (z_{t-1}, v_t); S+1 pulls of
+            # the linear map give J columns, A, and the v sensitivities
+            _, lin = jax.linearize(step_fn, zp, v)
+            zeros_v = jnp.zeros_like(v)
+            lam_new = [jnp.zeros_like(lam[0]) for _ in range(S)]
+            for k in range(S):
+                basis = [
+                    jnp.full_like(zp[0], 1.0 if i == k else 0.0)
+                    for i in range(S)
+                ]
+                dz_k, do_k = lin(basis, zeros_v)
+                # lam_new[k] = sum_i (dF_i/dz_k) lam_i + (dF_o/dz_k) obar
+                lam_new[k] = (
+                    sum(dz_k[i] * lam[i] for i in range(S)) + do_k * go
+                )
+            dz_v, do_v = lin([jnp.zeros_like(z) for z in zp],
+                             jnp.ones_like(v))
+            gv_ref[0, pl.ds(t * _SUB, _SUB), :] = (
+                sum(dz_v[i] * lam[i] for i in range(S)) + do_v * go
+            )
+            for k in range(S):
+                lam_scr[pl.ds(k * _SUB, _SUB), :] = lam_new[k]
+            return 0
+
+        jax.lax.fori_loop(0, time_chunk, body, 0)
+        gz0_ref[0] = lam_scr[...]
+
+    zrows = S * _SUB
+
+    def tspec():
+        return pl.BlockSpec(
+            (1, time_chunk * _SUB, lanes),
+            lambda i, j: (i, nt - 1 - j, 0),  # time runs backwards
+            memory_space=pltpu.VMEM,
+        )
+
+    def _full(shape):
+        return pl.BlockSpec(
+            shape, lambda i, j: tuple(0 for _ in shape),
+            memory_space=pltpu.SMEM if root_smem else pltpu.VMEM,
+        )
+
+    results = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, sc.shape[1]), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+            tspec(),  # vin
+            tspec(),  # g_out
+            *[tspec() for _ in range(S)],  # z_prev
+            pl.BlockSpec(
+                (1, zrows, lanes), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),  # lam_T
+            *[_full(a.shape) for a in root_arrays],
+        ],
+        out_specs=[
+            *[tspec() for _ in range(S)],  # lam_step
+            tspec(),  # g_vin
+            pl.BlockSpec(
+                (1, zrows, lanes), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),  # g_z0
+        ],
+        out_shape=[
+            *[jax.ShapeDtypeStruct(vin_p.shape, jnp.float32)
+              for _ in range(S)],
+            jax.ShapeDtypeStruct(vin_p.shape, jnp.float32),
+            jax.ShapeDtypeStruct((nb, zrows, lanes), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((zrows, lanes), jnp.float32)],
+        interpret=interpret,
+    )(sc, vin_p, g_out_p, *z_prev_p, lam_T_p, *root_arrays)
+
+    lam_step = list(results[:S])
+    g_vin_p = results[S]
+    g_z0_p = results[S + 1]
+    return lam_step, g_vin_p, g_z0_p
+
+
 def make_fused_circuit_train_generic(
     circuit,
     *,
@@ -122,6 +324,7 @@ def make_fused_circuit_train_generic(
     time_chunk: int = 128,
     lanes: int = 0,
     interpret: bool = False,
+    backward: str = "pallas",
 ):
     """Build the differentiable fused engine for ``circuit``.
 
@@ -131,12 +334,19 @@ def make_fused_circuit_train_generic(
     (all of them — tree components, diode physics, MLP weights), ``vin``,
     and ``z0_leaves``.  Semantics match ``circuit.process`` with hoisted
     adaptation.
+
+    backward: "pallas" (default) runs the adjoint recurrence as one fused
+    kernel (``_fused_backward_kernel``) and keeps every residual in the
+    kernels' packed layout end-to-end; "xla" is the round-3 path (S+1
+    linearize pulls + log-depth associative scan) kept as an oracle — both
+    are gradchecked against scan BPTT.
     """
     from .fused_circuit import fused_circuit_process, fused_circuit_process_neural
 
     assert len(circuit.outputs) == 1, (
         "parallel-BPTT engine assumes one scalar output probe"
     )
+    assert backward in ("pallas", "xla"), backward
     neural = isinstance(circuit.root, NeuralDiodeRoot)
     root_name = circuit.root.name
     s_treedef = jax.tree_util.tree_structure(circuit.init_state())
@@ -151,6 +361,7 @@ def make_fused_circuit_train_generic(
             lanes=lanes,
             interpret=interpret,
             return_state_seq=want_seq,
+            seq_packed=(backward == "pallas"),
         )
         if neural:
             tree_params = {k: v for k, v in params.items() if k != root_name}
@@ -173,7 +384,67 @@ def make_fused_circuit_train_generic(
         out, zf, seqs = fwd_kernel(params, vin, z0_leaves, True)
         return (out, zf), (params, vin, seqs)
 
+    def f_bwd_pallas(res, cot):
+        from .deer_circuit import _mlp_root_smem
+        from .fused_clipper import _pack, _unpack, auto_lanes
+
+        params, vin, seqs = res  # seqs: S packed (nb, T*8, lanes)
+        g_out, g_zf = cot
+        B, T = vin.shape
+        lanes_eff = lanes or auto_lanes(B, T, time_chunk)
+        vin_p = _pack(vin, lanes_eff)
+        g_out_p = _pack(jnp.asarray(g_out), lanes_eff)
+        lam_T_p = jnp.concatenate(
+            [_pack(jnp.asarray(g).reshape(B, 1), lanes_eff) for g in g_zf],
+            axis=1,
+        )
+        if neural:
+            coeffs = circuit.adapt(params, static_controls or {})
+            log_r = jnp.log(coeffs[circuit.tree.name]["R"])
+            layers = params[root_name]["layers"]
+            W1, b1 = layers[0]["kernel"], layers[0]["bias"]
+            W3, b3 = layers[-1]["kernel"], layers[-1]["bias"]
+            ras = (
+                W1[0:1, :],
+                (W1[1] * log_r + b1)[None, :],
+                jnp.stack([l["kernel"].reshape(-1) for l in layers[1:-1]]),
+                jnp.stack([l["bias"] for l in layers[1:-1]]),
+                W3[:, 0][None, :],
+                b3.reshape(1, 1),
+            )
+            k_params = {k: v for k, v in params.items() if k != root_name}
+            ro, rsm = _mlp_root_smem, True
+        else:
+            k_params, ro, ras, rsm = params, None, (), False
+        lam_step_p, g_vin_p, g_z0_p = _fused_backward_kernel(
+            circuit, k_params, vin_p, g_out_p, tuple(seqs), lam_T_p,
+            input_node=input_node, static_controls=static_controls,
+            time_chunk=time_chunk, lanes=lanes_eff, interpret=interpret,
+            root_override=ro, root_arrays=ras, root_smem=rsm, n_state=S,
+        )
+        g_vin = _unpack(g_vin_p, B, T, lanes_eff)
+        g_z0 = [
+            g_z0_p[:, k * 8 : (k + 1) * 8, :].reshape(B) for k in range(S)
+        ]
+
+        # parameter cotangents: grad of the scalar inner product, evaluated
+        # directly ON the packed layout (the batched step is elementwise,
+        # the sums are layout-invariant) — zero transpose traffic
+        def inner(p):
+            c = circuit.adapt(p, static_controls or {})
+            st = _batched_step(circuit, c, p, static_controls, input_node)
+            z_new, o = st(list(seqs), vin_p)
+            acc = jnp.sum(o * g_out_p)
+            for k in range(S):
+                acc = acc + jnp.sum(z_new[k] * lam_step_p[k])
+            return acc
+
+        g_params = jax.grad(inner)(params)
+        return g_params, g_vin, g_z0
+
     def f_bwd(res, cot):
+        if backward == "pallas":
+            return f_bwd_pallas(res, cot)
         params, vin, seqs = res
         g_out, g_zf = cot  # (B, T), list of S (B,)
         lam_T = [jnp.asarray(g) for g in g_zf]  # S x (B,)

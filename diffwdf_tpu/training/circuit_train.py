@@ -49,6 +49,8 @@ class CircuitTrainConfig:
     # root + hoisted per-chunk R only) | "fused_generic" (ops.parallel_bptt:
     # ANY circuit/root, full param cotangents incl. components; requires
     # batch-constant impedance controls — no per-row R)
+    engine_backward: str = "pallas"  # fused_generic adjoint: "pallas" (one
+    # fused kernel) | "xla" (round-3 linearize + associative scan, oracle)
 
 
 def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunks=None,
@@ -184,6 +186,7 @@ def _make_fused_generic_forward(circuit: Circuit, cfg: CircuitTrainConfig):
     f = make_fused_circuit_train_generic(
         circuit, input_node=input_node,
         interpret=jax.default_backend() not in ("tpu",),
+        backward=cfg.engine_backward,
     )
     s_leaves = jax.tree_util.tree_leaves(circuit.init_state())
     tile = 1024

@@ -50,7 +50,7 @@ def main():
     epochs = int(os.environ.get("LADDER_EPOCHS", "2000"))
     n_seeds = int(os.environ.get("LADDER_SEEDS", "5"))
     out_json = os.environ.get("LADDER_OUT", "PRETRAIN_RESULTS.json")
-    out_dir = "models/pretrained"
+    out_dir = os.environ.get("LADDER_MODELS_DIR", "models/pretrained")
     os.makedirs(out_dir, exist_ok=True)
     results = []
     for diode_name, layers, width, ref in LADDER:

@@ -143,3 +143,45 @@ def test_train_step_fused_generic_reduces_loss():
     for _ in range(8):
         params, opt_state, m = train_step(params, opt_state, batches)
     assert float(m["loss"]) < float(m0["loss"]), (m0, m)
+
+
+def test_pallas_backward_matches_xla_backward():
+    """The fused Pallas adjoint kernel (backward='pallas', default) and the
+    round-3 XLA path (linearize pulls + associative scan) produce the same
+    cotangents — params, input stream, and initial state — on the Tube
+    Screamer with a neural root AND on the analytic-root HPF."""
+    rng = np.random.default_rng(5)
+    vin = jnp.asarray((0.5 * rng.standard_normal((B, T))).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
+
+    cases = []
+    root = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=8)
+    ts = make_tube_screamer(root, FS)
+    cases.append((ts, "Vin", {**ts.init_params(), **root.init_params()}))
+    aroot = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    hpf = make_hpf_diode_clipper(aroot, FS)
+    cases.append((hpf, "Vs", {**hpf.init_params(), **aroot.init_params()}))
+
+    for ckt, node, params in cases:
+        S = len(jax.tree_util.tree_leaves(ckt.init_state()))
+        z0 = [jnp.zeros((B,), jnp.float32) for _ in range(S)]
+
+        def loss(f):
+            def L(p, v, z):
+                out, zf = f(p, v, z)
+                return (
+                    jnp.sum((out - y) ** 2)
+                    + sum(jnp.sum(3.0 * zz) for zz in zf)
+                )
+            return L
+
+        f_pl = make_fused_circuit_train_generic(
+            ckt, input_node=node, interpret=True, backward="pallas")
+        f_xla = make_fused_circuit_train_generic(
+            ckt, input_node=node, interpret=True, backward="xla")
+        g_pl = jax.grad(loss(f_pl), argnums=(0, 1, 2))(params, vin, z0)
+        g_xla = jax.grad(loss(f_xla), argnums=(0, 1, 2))(params, vin, z0)
+        for a, b in zip(jax.tree_util.tree_leaves(g_pl),
+                        jax.tree_util.tree_leaves(g_xla)):
+            denom = float(jnp.max(jnp.abs(b))) + 1e-12
+            assert float(jnp.max(jnp.abs(a - b))) / denom < 1e-4, ckt
