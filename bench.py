@@ -521,6 +521,41 @@ def main():
         "fused_max_abs_err": ts_err,
     }
 
+    _p("hpf single-stream (marginal mode, damped DEER)")
+    # --- HPF clipper single-stream: the marginal slow mode served at 48
+    # damped sweeps (sweep-limited, not f32-limited — see
+    # runs/probes/hpf_marginal_probe.json) --------------------------------
+    from diffwdf_tpu.models.diode_clipper import make_hpf_diode_clipper
+
+    hpf = make_hpf_diode_clipper(aroot, fs)
+    p_hpf = {**hpf.init_params(), **aroot.init_params()}
+
+    @jax.jit
+    def hpf_seq_single(v):
+        out, _ = hpf.process(p_hpf, hpf.init_state(), {"Vs": {"v": v}},
+                             unroll=8)
+        return out
+
+    def hpf_deer_single(v):
+        out, _, _ = fused_deer_circuit(hpf, p_hpf, v, input_node="Vs",
+                                       sweeps=48, damping=0.5)
+        return out
+
+    dt_hpf_seq = _timeit(hpf_seq_single, xs_single, n=30,
+                         label="hpf_single_seq_T16384")
+    dt_hpf_deer = _timeit(hpf_deer_single, xs_single, n=100,
+                          label="hpf_single_deer_T16384")
+    hpf_err = float(jnp.max(jnp.abs(
+        hpf_deer_single(xs_single[0]) - hpf_seq_single(xs_single[0]))))
+    details["hpf_single_stream_T16384"] = {
+        "sequential_ms": dt_hpf_seq * 1e3,
+        "deer_fused_ms": dt_hpf_deer * 1e3,
+        "speedup_fused_deer": dt_hpf_seq / dt_hpf_deer,
+        "fused_max_abs_err": hpf_err,
+        "sweeps": 48,
+        "damping": 0.5,
+    }
+
     _p("neural single-stream")
     # --- NEURAL-root single-stream: the reference's headline real-time
     # engine (DiodePairNeuralModel.h:68-73) through the generic fused DEER
@@ -577,6 +612,8 @@ def main():
         ts_deer32 = np.asarray(ts_deer_single(xs_single[0]), np.float64)
         nz_scan32 = np.asarray(nz_seq_single(xs_single[0]), np.float64)
         nz_deer32 = np.asarray(nz_deer_single(xs_single[0]), np.float64)
+        hpf_scan32 = np.asarray(hpf_seq_single(xs_single[0]), np.float64)
+        hpf_deer32 = np.asarray(hpf_deer_single(xs_single[0]), np.float64)
         with jax.default_device(cpu0):
             x64 = np.asarray(xs_single[0], np.float64)
             # clipper (S=1)
@@ -619,6 +656,18 @@ def main():
                 floors["neural_clipper_T16384"]["fused_f32_vs_f64"]
                 / max(floors["neural_clipper_T16384"]["scan_f32_vs_f64"],
                       1e-30))
+            # HPF (marginal slow mode, damped DEER at 48 sweeps)
+            with jax.enable_x64():
+                oracle_h, _ = hpf.process(
+                    _to64(p_hpf), _to64(hpf.init_state()),
+                    {"Vs": {"v": jnp.asarray(x64)}})
+                o_h = np.asarray(oracle_h)
+            e_h_scan = float(np.max(np.abs(hpf_scan32 - o_h)))
+            e_h_deer = float(np.max(np.abs(hpf_deer32 - o_h)))
+            floors["hpf_T16384"] = {
+                "scan_f32_vs_f64": e_h_scan, "fused_f32_vs_f64": e_h_deer,
+                "fused_over_scan": e_h_deer / max(e_h_scan, 1e-30),
+            }
         details["f64_parity_floors"] = floors
     except Exception as e:  # oracle needs a CPU device + x64 support
         details["f64_parity_floors"] = {"error": str(e)[:200]}

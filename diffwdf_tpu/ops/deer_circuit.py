@@ -81,8 +81,12 @@ def fused_deer_circuit(
     contractive circuits (LPF clipper, Tube Screamer); circuits with a
     marginal slow state mode (the HPF clipper's series capacitor,
     |df/dz| -> 1) make undamped Newton-over-trajectory oscillate — use
-    damping=0.5 with ~3x the sweeps there (reaches ~1e-4, the f32 limit of
-    the marginal mode).
+    damping=0.5 with more sweeps there.  The marginal mode is
+    sweep-limited, not f32-limited: at 48 damped sweeps the converged
+    trajectory lands BELOW the sequential f32 scan's own drift from a
+    float64 oracle (2.7e-5 vs 4.9e-5 at T=16384,
+    ``runs/probes/hpf_marginal_probe.json``); 24 sweeps leave a ~3e-4
+    unconverged residual.
 
     root_override: optional ``(a, R_up, array_views) -> b`` replacing the
     circuit root's reflect inside the kernel; ``root_arrays`` travel as

@@ -716,10 +716,16 @@ def make_hpf_processor(
                 if v.shape[0] % 1024:
                     return ckt.process(params, state, inputs,
                                        static_controls=static_controls)
+                # sweeps=48: the marginal mode is sweep-limited, not
+                # f32-limited — at 48 damped sweeps the DEER trajectory
+                # lands BELOW the sequential f32 scan's own drift from a
+                # float64 oracle (2.7e-5 vs 4.9e-5 at T=16384,
+                # runs/probes/hpf_marginal_probe.json); 24 sweeps left a
+                # ~3e-4 unconverged residual
                 out, st, res = solver(
                     ckt, params, v, input_node="Vs",
                     static_controls=static_controls, state0=state,
-                    sweeps=24, damping=0.5, interpret=interp,
+                    sweeps=48, damping=0.5, interpret=interp,
                 )
                 return out, st, res
 
