@@ -52,8 +52,11 @@ def main():
     out_json = os.environ.get("LADDER_OUT", "PRETRAIN_RESULTS.json")
     out_dir = os.environ.get("LADDER_MODELS_DIR", "models/pretrained")
     os.makedirs(out_dir, exist_ok=True)
+    only = os.environ.get("LADDER_ONLY")  # substring filter, e.g. "2U-3D"
     results = []
     for diode_name, layers, width, ref in LADDER:
+        if only and only not in f"{diode_name} {layers}x{width}":
+            continue
         diode = ALL_1N4148[diode_name]
         # Parity settings = the reference's exact hyperparameters
         # (diode_pretraining.py:26-31,158-160: Adam 2e-5, 2000 epochs, batch
