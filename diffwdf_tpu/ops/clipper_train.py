@@ -43,9 +43,19 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..roots.neural import mlp_apply
-from .fused_clipper import fused_clipper_neural_train_fwd
+from .fused_clipper import (
+    _SUB,
+    _pack,
+    _pack_c1,
+    _pack_state,
+    _unpack,
+    _unpack_state,
+    fused_clipper_neural_train_fwd,
+)
 
 
 def _mlp_y(mlp_params, activations, a, log_r):
@@ -71,6 +81,121 @@ def _linrec_reverse(c, d, lam_T):
     return jnp.flip(lam_f, axis=1)
 
 
+def _clipper_adjoint_pallas(a_seq_p, g_out_p, g_zf_p, p1r_p, c1_p,
+                            mlp_params, *, time_chunk, interpret):
+    """The clipper's closed-form adjoint as ONE Pallas kernel.
+
+    Marches lam_t = c_t lam_{t+1} + 0.5 (1+c_t) go_t backwards over time
+    (batch-tile vectorized), computing m_t = dMLP/da INLINE per step via a
+    jvp through the scalar-broadcast SMEM MLP — replacing the XLA backward's
+    separate batched-jvp m pass + associative scan + elementwise passes.
+    All arrays in the fused kernels' packed layout.
+
+    Returns (g_vin_p, G_p, g_z0_p): input cotangent, the total s_{t+1}
+    cotangent stream (residual for the parameter VJP), and lam_0.
+    """
+    nb, TS8, lanes = a_seq_p.shape
+    T = TS8 // _SUB
+    while time_chunk > 8 and (time_chunk * lanes > 16384 or T % time_chunk):
+        time_chunk //= 2
+    assert T % time_chunk == 0, (T, time_chunk)
+    nt = T // time_chunk
+
+    layers = mlp_params["layers"]
+    W1 = layers[0]["kernel"]  # (2, H)
+    H = W1.shape[1]
+    w1a = W1[0][None, :]  # (1, H)
+    w2f = (
+        jnp.stack([l["kernel"].reshape(-1) for l in layers[1:-1]])
+        if len(layers) > 2 else jnp.zeros((0, H * H), jnp.float32)
+    )
+    b2 = (
+        jnp.stack([l["bias"] for l in layers[1:-1]])
+        if len(layers) > 2 else jnp.zeros((0, H), jnp.float32)
+    )
+    w3 = layers[-1]["kernel"][:, 0][None, :]  # (1, H)
+    L = w2f.shape[0]
+
+    def kernel(w1a_ref, w2f_ref, b2_ref, w3_ref, a_ref, go_ref, gzf_ref,
+               p1r_ref, c1_ref, gv_ref, G_ref, gz0_ref, lam_scr):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            lam_scr[...] = gzf_ref[0]
+
+        p = p1r_ref[0]
+        c1_tiles = [c1_ref[0, pl.ds(h * _SUB, _SUB), :] for h in range(H)]
+
+        def y_of(av):
+            h = [jnp.tanh(w1a_ref[0, jj] * av + c1_tiles[jj])
+                 for jj in range(H)]
+            for l in range(L):
+                h = [
+                    jnp.tanh(
+                        sum(w2f_ref[l, jj * H + ii] * h[jj]
+                            for jj in range(H)) + b2_ref[l, ii]
+                    )
+                    for ii in range(H)
+                ]
+            return sum(w3_ref[0, jj] * h[jj] for jj in range(H))
+
+        def body(tr, _):
+            t = time_chunk - 1 - tr  # reversed within the chunk
+            a = a_ref[0, pl.ds(t * _SUB, _SUB), :]
+            go = go_ref[0, pl.ds(t * _SUB, _SUB), :]
+            _, m = jax.jvp(y_of, (a,), (jnp.ones_like(a),))
+            c = -(m * (1.0 - p) + p)
+            lam_next = lam_scr[...]
+            G = lam_next + 0.5 * go
+            G_ref[0, pl.ds(t * _SUB, _SUB), :] = G
+            gv_ref[0, pl.ds(t * _SUB, _SUB), :] = p * (1.0 - m) * G
+            lam_scr[...] = c * lam_next + 0.5 * (1.0 + c) * go
+            return 0
+
+        jax.lax.fori_loop(0, time_chunk, body, 0)
+        gz0_ref[0] = lam_scr[...]
+
+    def tspec():
+        return pl.BlockSpec(
+            (1, time_chunk * _SUB, lanes),
+            lambda i, j: (i, nt - 1 - j, 0),  # time runs backwards
+            memory_space=pltpu.VMEM,
+        )
+
+    per_tile = pl.BlockSpec((1, _SUB, lanes), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+
+    gv, G, gz0 = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=[
+            smem(w1a.shape), smem(w2f.shape), smem(b2.shape), smem(w3.shape),
+            tspec(),   # a_seq
+            tspec(),   # g_out
+            per_tile,  # g_zf
+            per_tile,  # p1r
+            pl.BlockSpec((1, H * _SUB, lanes), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # c1 (per-row bias)
+        ],
+        out_specs=[tspec(), tspec(), per_tile],
+        out_shape=[
+            jax.ShapeDtypeStruct(a_seq_p.shape, jnp.float32),
+            jax.ShapeDtypeStruct(a_seq_p.shape, jnp.float32),
+            jax.ShapeDtypeStruct((nb, _SUB, lanes), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((_SUB, lanes), jnp.float32)],
+        interpret=interpret,
+    )(
+        jnp.asarray(w1a, jnp.float32), jnp.asarray(w2f, jnp.float32),
+        jnp.asarray(b2, jnp.float32), jnp.asarray(w3, jnp.float32),
+        a_seq_p, g_out_p, g_zf_p, p1r_p, c1_p,
+    )
+    return gv, G, gz0
+
+
 def make_fused_clipper_train(
     activations: Tuple[str, ...],
     cap: float,
@@ -80,17 +205,23 @@ def make_fused_clipper_train(
     lanes: int = 0,
     chunks: int = 2,
     interpret: bool = False,
+    backward: str = "pallas",
 ):
     """Build the differentiable fused clipper op for one (cap, fs) config.
 
     Returns ``f(vin, z0, mlp_params, r_rows) -> (out, z_final)`` with a
-    custom VJP: Pallas forward, associative-scan backward.  ``activations``
-    must be the reference NxH family (all-tanh hidden, linear head) — the
-    kernel hard-codes tanh.
+    custom VJP: Pallas forward, and (default) the Pallas adjoint kernel
+    backward (``_clipper_adjoint_pallas`` — the m_t pass, the lam
+    recurrence and the input cotangent fused into one launch, leaving only
+    the parameter VJP to XLA).  ``backward="xla"`` keeps the round-2
+    associative-scan path as an oracle.  ``activations`` must be the
+    reference NxH family (all-tanh hidden, linear head) — the kernels
+    hard-code tanh.
     """
     assert all(a == "tanh" for a in activations[:-1]) and activations[-1] in (
         "", "linear",
     ), f"fused kernel supports the all-tanh NxH family, got {activations}"
+    assert backward in ("pallas", "xla"), backward
 
     kern = functools.partial(
         fused_clipper_neural_train_fwd,
@@ -99,6 +230,7 @@ def make_fused_clipper_train(
         lanes=lanes,
         chunks=chunks,
         interpret=interpret,
+        seq_packed=(backward == "pallas"),
     )
 
     def _log_r_p1r(r_rows):
@@ -115,7 +247,45 @@ def make_fused_clipper_train(
         out, zf, a_seq = kern(vin, z0, mlp_params, r_rows, cap)
         return (out, zf), (a_seq, mlp_params, r_rows)
 
+    def f_bwd_pallas(res, cot):
+        a_seq_p, mlp_params, r_rows = res  # a_seq packed (nb, T*8, lanes)
+        g_out, g_zf = cot
+        B, T = g_out.shape
+        nb, TS8, lanes_eff = a_seq_p.shape
+        log_r, p1r = _log_r_p1r(r_rows)
+        layers = mlp_params["layers"]
+        c1_p = _pack_c1(log_r, layers[0]["kernel"][1], layers[0]["bias"],
+                        lanes_eff)
+        gv_p, G_p, gz0_p = _clipper_adjoint_pallas(
+            a_seq_p,
+            _pack(jnp.asarray(g_out), lanes_eff),
+            _pack_state(jnp.asarray(g_zf), lanes_eff),
+            _pack_state(p1r.astype(jnp.float32), lanes_eff),
+            c1_p,
+            mlp_params,
+            time_chunk=time_chunk,
+            interpret=interpret,
+        )
+        g_vin = _unpack(gv_p, B, T, lanes_eff)
+        g_z0 = _unpack_state(gz0_p)
+
+        # parameter cotangents: one batched VJP with dL/dy = -G, evaluated
+        # directly on the packed layout (elementwise MLP; sums are
+        # layout-invariant)
+        log_r_p = _pack_state(log_r.astype(jnp.float32), lanes_eff)
+        log_r_bt_p = jnp.broadcast_to(
+            log_r_p[:, None, :, :], (nb, T, _SUB, lanes_eff)
+        ).reshape(nb, TS8, lanes_eff)
+        _, pullback = jax.vjp(
+            lambda mp: _mlp_y(mp, activations, a_seq_p, log_r_bt_p),
+            mlp_params,
+        )
+        (g_mlp,) = pullback(-G_p)
+        return g_vin, g_z0, g_mlp, jnp.zeros_like(r_rows)
+
     def f_bwd(res, cot):
+        if backward == "pallas":
+            return f_bwd_pallas(res, cot)
         a_seq, mlp_params, r_rows = res
         g_out, g_zf = cot
         log_r, p1r = _log_r_p1r(r_rows)

@@ -330,7 +330,8 @@ def _neural_kernel(const_ref, in_ref, z0_ref, k1_ref, c1_ref, kh_ref, ch_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fs", "time_chunk", "lanes", "chunks", "interpret")
+    jax.jit,
+    static_argnames=("fs", "time_chunk", "lanes", "chunks", "interpret"),
 )
 def fused_clipper_neural(
     vin,
@@ -488,7 +489,9 @@ def _pack_c1(log_r, W1_r, b1, lanes):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fs", "time_chunk", "lanes", "chunks", "interpret")
+    jax.jit,
+    static_argnames=("fs", "time_chunk", "lanes", "chunks", "interpret",
+                     "seq_packed"),
 )
 def fused_clipper_neural_train_fwd(
     vin,
@@ -502,6 +505,7 @@ def fused_clipper_neural_train_fwd(
     lanes: int = 0,
     chunks: int = 2,
     interpret: bool = False,
+    seq_packed: bool = False,
 ):
     """Raw training forward: (out, z_final, a_seq) with per-row source R.
 
@@ -569,7 +573,9 @@ def fused_clipper_neural_train_fwd(
     return (
         _unpack(out, B, T, lanes),
         _unpack_state(zf),
-        _unpack(a_seq, B, T, lanes),
+        # seq_packed hands the residual to the Pallas adjoint kernel in the
+        # kernels' native layout (skips an unpack/repack transpose pair)
+        a_seq if seq_packed else _unpack(a_seq, B, T, lanes),
     )
 
 

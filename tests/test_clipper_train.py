@@ -186,3 +186,33 @@ def test_fused_engine_training_matches_scan_engine():
         hists["fused"]["loss"], hists["scan"]["loss"], rtol=5e-4
     )
     assert hists["fused"]["loss"][-1] < hists["fused"]["loss"][0]
+
+
+def test_clipper_pallas_adjoint_matches_xla_backward():
+    """The fused clipper adjoint kernel (backward='pallas', default) and the
+    round-2 associative-scan XLA path produce the same cotangents for vin,
+    z0 and every MLP parameter, across the 2x16 and 4x8 families."""
+    for n_layers, width in ((2, 16), (4, 8)):
+        root, mlp, ckt, tree_params, vin, z0, r_rows = _setup(
+            n_layers=n_layers, width=width, B=1024, T=256, seed=7)
+        acts = root.activations
+        f_pl = make_fused_clipper_train(acts, CAP, FS, interpret=INTERP,
+                                        backward="pallas")
+        f_xla = make_fused_clipper_train(acts, CAP, FS, interpret=INTERP,
+                                         backward="xla")
+        y = jnp.asarray(np.random.default_rng(8).standard_normal(
+            vin.shape).astype(np.float32))
+
+        def loss(f):
+            def L(v, z, mp):
+                out, zf = f(v, z, mp, r_rows)
+                return jnp.sum((out - y) ** 2) + jnp.sum(3.0 * zf)
+            return L
+
+        g_pl = jax.grad(loss(f_pl), argnums=(0, 1, 2))(vin, z0, mlp)
+        g_xla = jax.grad(loss(f_xla), argnums=(0, 1, 2))(vin, z0, mlp)
+        for a, b in zip(jax.tree_util.tree_leaves(g_pl),
+                        jax.tree_util.tree_leaves(g_xla)):
+            denom = float(jnp.max(jnp.abs(b))) + 1e-12
+            rel = float(jnp.max(jnp.abs(a - b))) / denom
+            assert rel < 1e-4, (n_layers, width, rel)
