@@ -33,3 +33,18 @@ def devices8():
     if len(devs) < 8:
         pytest.skip("needs 8 virtual devices")
     return devs[:8]
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound per-process XLA:CPU compiler state.
+
+    A single full-suite process accumulates hundreds of compiled
+    executables; past ~200 compile-heavy tests the XLA:CPU backend
+    segfaulted INSIDE a later compile (faulthandler stack in
+    backend_compile_and_load) while the same tests pass in split runs.
+    Dropping the executable caches at module boundaries keeps the
+    accumulated JIT state bounded; cross-module compile reuse is minimal,
+    so the wall-clock cost is small."""
+    yield
+    jax.clear_caches()
