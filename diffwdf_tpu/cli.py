@@ -316,6 +316,12 @@ def cmd_process(args):
         knobs["model"] = model
 
     block = args.block
+    warmup_s = 0.0
+    if getattr(args, "warmup", False):
+        # prepareToPlay parity: compile every block variant of the served
+        # circuit (members, engine, fallback) before the stream starts
+        winfo = proc.warmup([block], circuits=(circuit,))
+        warmup_s = winfo["seconds"]
     pad = (-len(x)) % block
     xp = np.pad(x, (0, pad))
     outs = [
@@ -338,6 +344,7 @@ def cmd_process(args):
                 "circuit": circuit,
                 "blocks": len(outs),
                 "load": round(proc.load, 4),
+                "warmup_s": round(warmup_s, 3),
                 "peak": float(np.max(np.abs(out))),
                 "out": out_path,
             }
@@ -632,6 +639,10 @@ def main(argv=None):
                     help="deer = fused parallel-in-time serving for the "
                          "analytic-rooted circuits (blocks divisible by "
                          "1024; others fall back to the scan)")
+    sp.add_argument("--warmup", action="store_true",
+                    help="pre-compile every block variant of the served "
+                         "circuit before streaming (prepareToPlay parity; "
+                         "first block then runs at steady-state latency)")
     sp.add_argument("--out", help="output path (.wav or .npy)")
     sp.set_defaults(fn=cmd_process)
 

@@ -149,6 +149,7 @@ def _make_fused_forward(circuit: Circuit, cfg: CircuitTrainConfig):
     fused = make_fused_clipper_train(
         acts, cap, circuit.fs,
         interpret=jax.default_backend() not in ("tpu",),
+        backward=cfg.engine_backward,
     )
     tile = 1024
 

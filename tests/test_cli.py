@@ -83,6 +83,33 @@ def test_cli_simulate_wav_roundtrip(tmp_path, capsys):
     assert np.max(np.abs(y)) / np.sqrt(np.mean(y**2)) < np.sqrt(2.0)
 
 
+def test_cli_process_warmup_flag(tmp_path, capsys):
+    """`process --warmup` pre-compiles the served circuit's block variants
+    (prepareToPlay parity) and produces output identical to a cold run."""
+    from diffwdf_tpu.data.audio import read_wav, write_wav
+
+    fs = 24000
+    n = np.arange(2048)
+    x = 0.5 * np.sin(2 * np.pi * 330.0 * n / fs).astype(np.float32)
+    wav_in = tmp_path / "in.wav"
+    write_wav(wav_in, fs, x)
+
+    out_cold = tmp_path / "cold.wav"
+    main(["process", "--input", str(wav_in), "--circuit", "clipper",
+          "--block", "1024", "--out", str(out_cold)])
+    rec_cold = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rec_cold["warmup_s"] == 0.0
+
+    out_warm = tmp_path / "warm.wav"
+    main(["process", "--input", str(wav_in), "--circuit", "clipper",
+          "--block", "1024", "--warmup", "--out", str(out_warm)])
+    rec_warm = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rec_warm["warmup_s"] > 0.0
+    _, yc = read_wav(out_cold)
+    _, yw = read_wav(out_warm)
+    np.testing.assert_array_equal(yc, yw)
+
+
 def test_cli_process_plugin_parity(tmp_path, capsys):
     """`process` streams blocks through the full plugin processor with the
     reference knob set (gain dB / cutoff / drive) and carried state."""
