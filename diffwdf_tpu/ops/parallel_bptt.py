@@ -429,7 +429,13 @@ def make_fused_circuit_train_generic(
 
         # parameter cotangents: grad of the scalar inner product, evaluated
         # directly ON the packed layout (the batched step is elementwise,
-        # the sums are layout-invariant) — zero transpose traffic
+        # the sums are layout-invariant) — zero transpose traffic.  The
+        # neural root stays in its DENSE mlp_apply form here: a
+        # scalar-broadcast elementwise rewrite (_mlp_reflect_elemwise) was
+        # chip-measured ~2x SLOWER for this reverse pass (grad_inner 3.05
+        # -> 5.94 ms — the unrolled 16-wide FMA chains cost more than the
+        # padded K=2/H matmuls they replaced; negative result kept in
+        # runs/probes/parallel_bptt_profile_elemwise_negative.json)
         def inner(p):
             c = circuit.adapt(p, static_controls or {})
             st = _batched_step(circuit, c, p, static_controls, input_node)
