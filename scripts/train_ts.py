@@ -25,6 +25,7 @@ ap.add_argument("--platform", choices=("tpu", "cpu"))
 ap.add_argument("--engine", default="fused_generic",
                 choices=("scan", "fused_generic"))
 ap.add_argument("--batch-size", type=int, default=2048)
+ap.add_argument("--out", default="runs/ts_2x16", help="output dir")
 cli = ap.parse_args()
 
 import jax
@@ -46,7 +47,7 @@ from diffwdf_tpu.training.circuit_train import (
 )
 
 FS = 48000.0
-OUT_DIR = "runs/ts_2x16"
+OUT_DIR = cli.out
 os.makedirs(OUT_DIR, exist_ok=True)
 
 diode = diode_1n4148_1u1d
