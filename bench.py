@@ -58,6 +58,47 @@ def _measure_rtt():
 _STATS = {}
 
 
+def _baseline_fingerprint():
+    """Configuration fingerprint for the CPU-baseline best-ever ratchet: the
+    ratchet is only valid while the baseline MACHINE and toolchain are the
+    same, so it is keyed to (compiler version, CPU model, core count) and
+    resets when any of them change (advisor round-4 finding: an unkeyed
+    ratchet silently carries a stale historical max across host swaps)."""
+    import subprocess
+
+    parts = []
+    try:
+        parts.append(
+            subprocess.run(["g++", "--version"], capture_output=True,
+                           text=True).stdout.splitlines()[0].strip()
+        )
+    except Exception:
+        parts.append("g++:unknown")
+    try:
+        model = ""
+        for line in open("/proc/cpuinfo"):
+            if line.lower().startswith("model name"):
+                model = line.split(":", 1)[1].strip()
+                break
+        parts.append(model or "cpu:unknown")
+    except Exception:
+        parts.append("cpu:unknown")
+    parts.append(f"ncpu={os.cpu_count()}")
+    return " | ".join(parts)
+
+
+def _prev_best(section: str, key: str, fingerprint: str) -> float:
+    """Read a best-ever ratchet value from the committed BENCH_DETAILS.json,
+    honoring it only if the stored baseline fingerprint matches."""
+    try:
+        rec = json.load(open("BENCH_DETAILS.json"))[section]
+        if rec.get("baseline_fingerprint") != fingerprint:
+            return 0.0
+        return float(rec.get(key, 0.0))
+    except Exception:
+        return 0.0
+
+
 #: adaptive-repeat policy: keep measuring until the spread is tight or the
 #: per-entry time budget is spent (the reference benches >= 5 s per
 #: measurement, ``plugin/bench/diode_clipper_bench.cpp:7-9``)
@@ -172,7 +213,29 @@ def _timeit_kernel(fn, args_list, K, n=30, label=None):
             elif key in s:
                 s[key] = round(s[key] / K, 6)
         s["chained"] = K
+        s["timing"] = "device-kernel (chained; excludes per-dispatch overhead)"
     return dt
+
+
+#: annotation stamped on every details entry whose numerator comes from
+#: _timeit_kernel, so a serving-latency reader knows the ~0.1-0.4 ms
+#: per-dispatch cost each real block pays is excluded from the chained number
+#: (advisor round-4 finding); the honest per-block figure is published
+#: alongside as *_per_dispatch_ms.
+_CHAINED_NOTE = (
+    "deer_fused_ms is pure device-kernel time (chained dispatch; "
+    "per-dispatch overhead amortized to <1/K); real block serving adds the "
+    "per-dispatch cost — see deer_fused_per_dispatch_ms"
+)
+
+
+def _timeit_kernel_both(fn, args_list, K, n=30, label=None):
+    """Chained device-kernel time PLUS the pipelined per-dispatch time for
+    the same kernel (what one real serving block pays through this host)."""
+    dt_k = _timeit_kernel(fn, args_list, K=K, n=n, label=label)
+    dt_d = _timeit(fn, args_list, n=max(n, 50),
+                   label=None if label is None else label + "_per_dispatch")
+    return dt_k, dt_d
 
 
 def _flush_details(details):
@@ -508,8 +571,8 @@ def main():
     dt_seq = _timeit(seq_single, xs_single, n=30, label="single_seq_T16384")
     dt_pint = _timeit(pint_single, xs_single, n=30, label="single_pint_T16384")
     # sub-ms kernels: pipeline deep enough to clear tunnel-RTT jitter
-    dt_deer = _timeit_kernel(deer_single, xs_single, K=32, n=20,
-                             label="single_deer_T16384")
+    dt_deer, dt_deer_pd = _timeit_kernel_both(
+        deer_single, xs_single, K=32, n=20, label="single_deer_T16384")
     # parity evidence alongside the timing
     deer_err = float(
         jnp.max(jnp.abs(deer_single(xs_single[0]) - seq_single(xs_single[0])))
@@ -518,9 +581,12 @@ def main():
         "sequential_ms": dt_seq * 1e3,
         "parallel_in_time_ms": dt_pint * 1e3,
         "deer_fused_ms": dt_deer * 1e3,
+        "deer_fused_per_dispatch_ms": dt_deer_pd * 1e3,
         "speedup_xla_deer": dt_seq / dt_pint,
         "speedup_fused_deer": dt_seq / dt_deer,
+        "speedup_fused_deer_per_dispatch": dt_seq / dt_deer_pd,
         "fused_max_abs_err": deer_err,
+        "timing_note": _CHAINED_NOTE,
     }
 
     _p("single-stream T=2048")
@@ -560,16 +626,19 @@ def main():
 
     _p("tube screamer single-stream")
     dt_ts_seq = _timeit(ts_seq_single, xs_single, n=30, label="ts_single_seq_T16384")
-    dt_ts_deer = _timeit_kernel(ts_deer_single, xs_single, K=32, n=20,
-                                label="ts_single_deer_T16384")
+    dt_ts_deer, dt_ts_deer_pd = _timeit_kernel_both(
+        ts_deer_single, xs_single, K=32, n=20, label="ts_single_deer_T16384")
     ts_err = float(
         jnp.max(jnp.abs(ts_deer_single(xs_single[0]) - ts_seq_single(xs_single[0])))
     )
     details["ts_single_stream_T16384"] = {
         "sequential_ms": dt_ts_seq * 1e3,
         "deer_fused_ms": dt_ts_deer * 1e3,
+        "deer_fused_per_dispatch_ms": dt_ts_deer_pd * 1e3,
         "speedup_fused_deer": dt_ts_seq / dt_ts_deer,
+        "speedup_fused_deer_per_dispatch": dt_ts_seq / dt_ts_deer_pd,
         "fused_max_abs_err": ts_err,
+        "timing_note": _CHAINED_NOTE,
     }
 
     _p("hpf single-stream (marginal mode, damped DEER)")
@@ -594,17 +663,21 @@ def main():
 
     dt_hpf_seq = _timeit(hpf_seq_single, xs_single, n=30,
                          label="hpf_single_seq_T16384")
-    dt_hpf_deer = _timeit_kernel(hpf_deer_single, xs_single, K=32, n=20,
-                                 label="hpf_single_deer_T16384")
+    dt_hpf_deer, dt_hpf_deer_pd = _timeit_kernel_both(
+        hpf_deer_single, xs_single, K=32, n=20,
+        label="hpf_single_deer_T16384")
     hpf_err = float(jnp.max(jnp.abs(
         hpf_deer_single(xs_single[0]) - hpf_seq_single(xs_single[0]))))
     details["hpf_single_stream_T16384"] = {
         "sequential_ms": dt_hpf_seq * 1e3,
         "deer_fused_ms": dt_hpf_deer * 1e3,
+        "deer_fused_per_dispatch_ms": dt_hpf_deer_pd * 1e3,
         "speedup_fused_deer": dt_hpf_seq / dt_hpf_deer,
+        "speedup_fused_deer_per_dispatch": dt_hpf_seq / dt_hpf_deer_pd,
         "fused_max_abs_err": hpf_err,
         "sweeps": 48,
         "damping": 0.5,
+        "timing_note": _CHAINED_NOTE,
     }
 
     _p("neural single-stream")
@@ -630,15 +703,19 @@ def main():
 
     dt_nz_seq = _timeit(nz_seq_single, xs_single, n=30,
                         label="neural_single_seq_T16384")
-    dt_nz_deer = _timeit_kernel(nz_deer_single, xs_single, K=32, n=20,
-                                label="neural_single_deer_T16384")
+    dt_nz_deer, dt_nz_deer_pd = _timeit_kernel_both(
+        nz_deer_single, xs_single, K=32, n=20,
+        label="neural_single_deer_T16384")
     nz_err = float(jnp.max(jnp.abs(
         nz_deer_single(xs_single[0]) - nz_seq_single(xs_single[0]))))
     details["neural_single_stream_T16384"] = {
         "sequential_ms": dt_nz_seq * 1e3,
         "deer_fused_ms": dt_nz_deer * 1e3,
+        "deer_fused_per_dispatch_ms": dt_nz_deer_pd * 1e3,
         "speedup_fused_deer": dt_nz_seq / dt_nz_deer,
+        "speedup_fused_deer_per_dispatch": dt_nz_seq / dt_nz_deer_pd,
         "fused_max_abs_err": nz_err,
+        "timing_note": _CHAINED_NOTE,
     }
 
     _p("f64-oracle parity floors at bench length")
@@ -726,12 +803,15 @@ def main():
     dt_seq2 = _timeit(seq_blk, xs_blk, n=30, label="single_seq_T2048")
     # the fused solve at T=2048 is microseconds; pipeline thousands of
     # dispatches so the total clears the tunnel RTT jitter
-    dt_deer2 = _timeit_kernel(deer_blk, xs_blk, K=128, n=20,
-                              label="single_deer_T2048")
+    dt_deer2, dt_deer2_pd = _timeit_kernel_both(
+        deer_blk, xs_blk, K=128, n=20, label="single_deer_T2048")
     details["single_stream_T2048"] = {
         "sequential_ms": dt_seq2 * 1e3,
         "deer_fused_ms": dt_deer2 * 1e3,
+        "deer_fused_per_dispatch_ms": dt_deer2_pd * 1e3,
         "speedup_fused_deer": dt_seq2 / dt_deer2,
+        "speedup_fused_deer_per_dispatch": dt_seq2 / dt_deer2_pd,
+        "timing_note": _CHAINED_NOTE,
     }
 
     _p("serving warmup / first-block latency")
@@ -806,17 +886,18 @@ def main():
         # swings ~25 % with external load, but the baseline MACHINE's
         # capability does not change run to run — the published ratio is
         # computed against the best the reference architecture has ever
-        # demonstrated here (conservative for us, stationary for the README)
-        try:
-            prev_best = json.load(open("BENCH_DETAILS.json"))[
-                "cpu_baseline_neural"].get("best_ever_msamples_per_s", 0.0)
-        except Exception:
-            prev_best = 0.0
+        # demonstrated here (conservative for us, stationary for the README).
+        # The ratchet is keyed to a toolchain/host fingerprint and resets
+        # when the baseline configuration changes.
+        fp = _baseline_fingerprint()
+        prev_best = _prev_best(
+            "cpu_baseline_neural", "best_ever_msamples_per_s", fp)
         details["cpu_baseline_neural"] = {
             "engine": "native C++ single-core (reference architecture)",
             "ms": dt_cpu * 1e3,
             "msamples_per_s": cpu_msps,
             "best_ever_msamples_per_s": max(cpu_msps, prev_best),
+            "baseline_fingerprint": fp,
         }
         cpu_msps = details["cpu_baseline_neural"]["best_ever_msamples_per_s"]
     else:  # fall back to the JAX CPU backend
@@ -868,13 +949,12 @@ def main():
             q25_g, q75_g = np.percentile(ts_cg, [25, 75])
             cg_msps = len(x_cg) / med_cg / 1e6
             rec[label + "_msamples_per_s"] = cg_msps
-            try:
-                prev_cg = json.load(open("BENCH_DETAILS.json"))[
-                    "cpu_codegen"].get(
-                        label + "_best_ever_msamples_per_s", 0.0)
-            except Exception:
-                prev_cg = 0.0
-            # same host-load rationale as cpu_baseline_neural above
+            # same host-load rationale and fingerprint keying as
+            # cpu_baseline_neural above
+            rec.setdefault("baseline_fingerprint", _baseline_fingerprint())
+            prev_cg = _prev_best(
+                "cpu_codegen", label + "_best_ever_msamples_per_s",
+                rec["baseline_fingerprint"])
             rec[label + "_best_ever_msamples_per_s"] = max(cg_msps, prev_cg)
             _STATS["cpu_codegen_" + label] = {
                 "reps": len(ts_cg),

@@ -101,7 +101,7 @@ def main(check: bool = False):
             f"~{sig2(pin('train_fused_msps', tr['samples_per_s'] / 1e6))} Msamples/s", "—"))
     rows.append((
         "Single stream T=16384 (fused parallel-in-time, one kernel)",
-        f"{sig2(pin("ss16384_speed", ss_speed))}× over sequential scan", "—"))
+        f"{sig2(pin('ss16384_speed', ss_speed))}× over sequential scan", "—"))
     if ss2:
         rows.append((
             "Single stream T=2048 (plugin block regime)",
@@ -143,7 +143,15 @@ def main(check: bool = False):
         "| Workload | Throughput | vs reference-architecture CPU engine |\n"
         "|---|---|---|\n"
     )
-    table = header + "\n".join(f"| {a} | {b} | {c} |" for a, b, c in rows) + "\n\n"
+    table = (
+        header + "\n".join(f"| {a} | {b} | {c} |" for a, b, c in rows)
+        + "\n\n"
+        + "*Single-stream rows are device-kernel time (chained dispatch — "
+        "per-dispatch overhead, ~0.1-0.4 ms through this host's tunnel, "
+        "amortized out); the per-dispatch figures a real serving block pays "
+        "are published alongside in `BENCH_DETAILS.json` as "
+        "`*_per_dispatch_ms`.*\n\n"
+    )
 
     path = os.path.join(ROOT, "README.md")
     text = open(path).read()
