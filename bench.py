@@ -229,6 +229,39 @@ _CHAINED_NOTE = (
 )
 
 
+def _timeit_kernel_pinned(fn, x_pin, K, n=30, label=None):
+    """Chained device-kernel time for a DATA-DEPENDENT kernel (e.g. the
+    residual-adaptive DEER solve, whose sweep count depends on the input):
+    each chained iterate re-runs on the ORIGINAL input plus a 1e-30-scaled
+    function of the previous iterate — numerically identical input (the
+    perturbation rounds away against O(1) samples) but a true data
+    dependence, so the chain can be neither reordered nor folded, and the
+    measured per-iteration cost reflects the real input's sweep count
+    rather than the tamer tanh-compressed signal ``_timeit_kernel`` feeds."""
+    import jax
+    import jax.numpy as jnp
+
+    chained = jax.jit(
+        lambda v: jax.lax.fori_loop(
+            0, K, lambda i, x: x_pin + 1e-30 * jnp.tanh(fn(x)), v
+        )
+    )
+    dt = _timeit(chained, [x_pin], n=n, label=label) / K
+    if label is not None and label in _STATS:
+        s = _STATS[label]
+        for key in ("reps_ms", "best_ms", "p25_ms", "median_ms", "iqr_ms"):
+            if isinstance(s.get(key), list):
+                s[key] = [round(v / K, 6) for v in s[key]]
+            elif key in s:
+                s[key] = round(s[key] / K, 6)
+        s["chained"] = K
+        s["timing"] = (
+            "device-kernel (input-pinned chain; excludes per-dispatch "
+            "overhead)"
+        )
+    return dt
+
+
 def _timeit_kernel_both(fn, args_list, K, n=30, label=None):
     """Chained device-kernel time PLUS the pipelined per-dispatch time for
     the same kernel (what one real serving block pays through this host)."""
@@ -661,13 +694,38 @@ def main():
                                        sweeps=48, damping=0.5)
         return out
 
+    def hpf_deer_adaptive(v):
+        # the serving configuration (stream.make_hpf_processor): 48-sweep
+        # CAP with residual-adaptive early exit on the state-update delta
+        out, _, _ = fused_deer_circuit(hpf, p_hpf, v, input_node="Vs",
+                                       sweeps=48, damping=0.5,
+                                       adapt_tol=1e-5)
+        return out
+
     dt_hpf_seq = _timeit(hpf_seq_single, xs_single, n=30,
                          label="hpf_single_seq_T16384")
     dt_hpf_deer, dt_hpf_deer_pd = _timeit_kernel_both(
         hpf_deer_single, xs_single, K=32, n=20,
         label="hpf_single_deer_T16384")
+    dt_hpf_ad = _timeit_kernel_pinned(
+        hpf_deer_adaptive, xs_single[0], K=32, n=20,
+        label="hpf_single_deer_adaptive_T16384")
     hpf_err = float(jnp.max(jnp.abs(
         hpf_deer_single(xs_single[0]) - hpf_seq_single(xs_single[0]))))
+    _, _, _, hpf_ad_sweeps = fused_deer_circuit(
+        hpf, p_hpf, xs_single[0], input_node="Vs", sweeps=48, damping=0.5,
+        adapt_tol=1e-5, return_info=True)
+    # moderate-drive block (0.5x the bench's hard +-2 sigma drive): the
+    # early exit pays here — typical audio, not the worst case
+    x_mod = xs_single[0] * 0.25
+    _, _, _, hpf_ad_sweeps_mod = fused_deer_circuit(
+        hpf, p_hpf, x_mod, input_node="Vs", sweeps=48, damping=0.5,
+        adapt_tol=1e-5, return_info=True)
+    dt_hpf_ad_mod = _timeit_kernel_pinned(
+        hpf_deer_adaptive, x_mod, K=32, n=20,
+        label="hpf_single_deer_adaptive_moderate_T16384")
+    hpf_ad_err = float(jnp.max(jnp.abs(
+        hpf_deer_adaptive(xs_single[0]) - hpf_seq_single(xs_single[0]))))
     details["hpf_single_stream_T16384"] = {
         "sequential_ms": dt_hpf_seq * 1e3,
         "deer_fused_ms": dt_hpf_deer * 1e3,
@@ -677,6 +735,17 @@ def main():
         "fused_max_abs_err": hpf_err,
         "sweeps": 48,
         "damping": 0.5,
+        "adaptive_ms": dt_hpf_ad * 1e3,
+        "adaptive_sweeps_run": float(hpf_ad_sweeps),
+        "adaptive_max_abs_err": hpf_ad_err,
+        "adaptive_tol": 1e-5,
+        "adaptive_moderate_ms": dt_hpf_ad_mod * 1e3,
+        "adaptive_moderate_sweeps_run": float(hpf_ad_sweeps_mod),
+        "adaptive_note": "the bench drive (+-2 sigma) is the marginal "
+                         "mode's worst case and needs the full 48-sweep "
+                         "cap; at moderate drive the early exit stops at "
+                         "~16-20 sweeps with residual at the ~1e-6 "
+                         "certificate floor",
         "timing_note": _CHAINED_NOTE,
     }
 
@@ -839,6 +908,23 @@ def main():
             warm.process_block(x_serve, "toms")
             steady.append(time.time() - t0)
         steady_ms = float(np.median(steady)) * 1e3
+        # device-side steady block time + real-time factor (round-5 VERDICT
+        # #4): the SAME compiled process_block path (gain ramp -> circuit ->
+        # DC blocker), timed with the pipelined RTT-corrected policy the
+        # kernel entries use, so the real-time claim stands on the actual
+        # serving function without the tunnel round trip the host-API
+        # steady_block_ms above pays per block
+        fn_dev = warm._block_fn("toms", len(x_serve))
+        _, params_dev = warm.circuits["toms"]
+        st_dev = warm._state[warm._state_key.get("toms", "toms")]
+        dc_dev = warm._dc_state
+        g1 = jnp.float32(1.0)
+        dev_block = _timeit(
+            lambda v: fn_dev(params_dev, st_dev, dc_dev, v, g1, g1, {})[0],
+            [jnp.asarray(x) for x in xs_blk], n=200,
+            label="serving_device_block",
+        )
+        block_audio_ms = len(x_serve) / fs * 1e3
         details["serving_warmup"] = {
             "block": len(x_serve),
             "cold_first_block_ms": cold_first_ms,
@@ -846,12 +932,63 @@ def main():
             "warmup_n_compiled": winfo["n_compiled"],
             "warmed_first_block_ms": warm_first_ms,
             "steady_block_ms": steady_ms,
+            "device_block_ms": dev_block * 1e3,
+            "block_audio_ms": block_audio_ms,
+            "rt_factor_device": block_audio_ms / (dev_block * 1e3),
             "note": "per-block times include one tunnel round trip (the "
                     "block API fetches its output); the contract is "
-                    "warmed_first ~ steady << cold_first",
+                    "warmed_first ~ steady << cold_first.  device_block_ms "
+                    "is the same compiled block fn timed pipelined/RTT-"
+                    "corrected (no per-block output fetch): the real-time "
+                    "factor rt_factor_device = block audio duration / "
+                    "device block time is the reference CPU meter's "
+                    "headroom number (CPUMeter.h:42-80)",
         }
     except Exception as e:
         details["serving_warmup"] = {"error": str(e)[:200]}
+
+    _p("full-group warmup + hot-swap sweep")
+    # --- full-group warm-up evidence (round-5 VERDICT #5): warm the WHOLE
+    # 7-member clipper group at two block sizes, then hot-swap through every
+    # member asserting first post-swap block ~ steady ----------------------
+    try:
+        from diffwdf_tpu.runtime.stream import make_plugin_processor
+
+        grp = make_plugin_processor(fs)
+        winfo_g = grp.warmup([2048, 1024], circuits=["clipper"])
+        swap = {}
+        x_sw = np.asarray(xs_blk[0])
+        for i in range(7):
+            t0 = time.time()
+            grp.process_block(x_sw, "clipper", model=i)
+            first_ms = (time.time() - t0) * 1e3
+            steady_i = []
+            for _ in range(10):
+                t0 = time.time()
+                grp.process_block(x_sw, "clipper", model=i)
+                steady_i.append(time.time() - t0)
+            swap[f"clipper/{i}"] = {
+                "first_block_after_swap_ms": first_ms,
+                "steady_ms": float(np.median(steady_i)) * 1e3,
+            }
+        worst = max(
+            v["first_block_after_swap_ms"] / max(v["steady_ms"], 1e-9)
+            for v in swap.values()
+        )
+        details["serving_group_warmup"] = {
+            "group": "clipper (7 members: toms, approx, 5 neural sizes)",
+            "block_sizes": [2048, 1024],
+            "n_compiled": winfo_g["n_compiled"],
+            "warmup_s": winfo_g["seconds"],
+            "hot_swap_sweep": swap,
+            "worst_first_over_steady": worst,
+            "note": "every member pre-compiled by warmup(); the sweep then "
+                    "switches models each block with state continuity — "
+                    "first post-swap block should sit at steady latency "
+                    "(times include one tunnel round trip per block)",
+        }
+    except Exception as e:
+        details["serving_group_warmup"] = {"error": str(e)[:200]}
 
     _p("cpu baselines")
     # --- CPU baseline: native C++ per-sample engine (the reference's
@@ -967,6 +1104,82 @@ def main():
         details["cpu_codegen"] = {"error": str(e)[:200]}
 
     vs_baseline = neural_msps / cpu_msps
+
+    _p("roofline accounting")
+    # --- roofline accounting (round-5 VERDICT #8): anchor "fast" to the
+    # hardware limits, not only the vs-CPU ratio.  Peaks: TPU v5e public
+    # spec, one chip — 197 TFLOP/s bf16 MXU (the kernels' dots run
+    # single-pass bf16-multiply/f32-accumulate) and 819 GB/s HBM.  MXU
+    # flops count the PADDED Kronecker work the kernel actually issues
+    # (2x16 family: k1 H*8 + 2 hidden HS^2/8 + head HS MACs per sample);
+    # HBM bytes count the streamed arrays (state lives in VMEM scratch).
+    try:
+        PEAK_MXU_BF16 = 197e12
+        PEAK_HBM = 819e9
+        H, HS, Lh = 16, 128, 2  # "2x16": two hidden HxH layers
+        kron_flops = 2.0 * (H * 8 + Lh * HS * HS // 8 + HS)
+
+        roof = {
+            "peaks": {
+                "mxu_bf16_flops_per_s": PEAK_MXU_BF16,
+                "hbm_bytes_per_s": PEAK_HBM,
+                "source": "TPU v5e spec (197 TFLOP/s bf16, 819 GB/s HBM)",
+            },
+            "entries": {},
+        }
+
+        def _roof(name, sps, mxu_fps, hbm_bps, bound, estimate=False):
+            roof["entries"][name] = {
+                "samples_per_s": sps,
+                "mxu_flops_per_sample": mxu_fps,
+                "hbm_bytes_per_sample": hbm_bps,
+                "achieved_mxu_tflops": sps * mxu_fps / 1e12,
+                "pct_mxu_roofline": 100.0 * sps * mxu_fps / PEAK_MXU_BF16,
+                "achieved_hbm_gb_per_s": sps * hbm_bps / 1e9,
+                "pct_hbm_roofline": 100.0 * sps * hbm_bps / PEAK_HBM,
+                "bound": bound,
+                **({"flops_estimate": True} if estimate else {}),
+            }
+
+        _roof(
+            "neural_2x16_pallas", B * T / dt_pl_n, kron_flops, 8.0,
+            "compute (MXU-latency): the per-step Kronecker matmul chain is "
+            "sequential over time, so utilization is dependence-limited, "
+            "not issue-limited (KERNEL_SWEEP ILP probe: <1% from "
+            "interleaving); HBM at <1% is nowhere near binding",
+        )
+        _roof(
+            "analytic_pallas", B * T / dt_pl_a, 0.0, 8.0,
+            "compute (VPU): omega transcendentals + scatter, sequential "
+            "dependence; no MXU work, HBM not binding",
+        )
+        _roof(
+            "tube_screamer_pallas", B * T / dt_pl_ts, 0.0, 8.0,
+            "compute (VPU): R-type scatter + omega; no MXU work",
+        )
+        # training fused (clipper 2x16): Pallas fwd (streams x in, out +
+        # a_seq residual out) + Pallas adjoint (reads a_seq/g_out, writes
+        # gv/G) + XLA batched param VJP (reads a_seq/G) ~= 36 B/sample;
+        # MXU work ~= fwd Kron + jvp m-pass + param VJP ~= 3x kron
+        _roof(
+            "training_step_fused", n_seq_f * T_tr / dt_train_f,
+            3.0 * kron_flops, 36.0,
+            "mixed: dependence-limited Pallas kernels + throughput-bound "
+            "XLA param VJP; HBM ~10% — not binding", estimate=True,
+        )
+        # generic fused training on the TS (S=3): fwd streams 1+1+3 arrays,
+        # adjoint reads 5 + writes 4, param pass reads ~7 => ~88 B/sample;
+        # the adjoint's MLP root runs scalar-broadcast VPU math (no MXU),
+        # so MXU work ~= fwd Kron + dense param-VJP MLP (~1.5x kron)
+        _roof(
+            "training_step_fused_generic_ts", n_seq_ts * T_tr / dt_ts_gen,
+            1.5 * kron_flops, 88.0,
+            "mixed: VPU adjoint recurrence + MXU fwd/param-VJP; HBM ~3% — "
+            "dependence-limited", estimate=True,
+        )
+        details["roofline"] = roof
+    except Exception as e:
+        details["roofline"] = {"error": str(e)[:200]}
 
     details["dispersion"] = _STATS
 

@@ -37,7 +37,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_clipper import _SUB, _pack, _unpack, auto_lanes, clamp_time_chunk
+from .fused_clipper import (
+    _SUB,
+    _pack,
+    _pack_state,
+    _unpack,
+    auto_lanes,
+    clamp_time_chunk,
+)
 
 _MAX_STATIC_MATRIX = 64  # matrix coeff leaves up to 8x8 are scalarized
 
@@ -54,17 +61,24 @@ class _StaticMatrix:
         return self.rows[i][j]
 
 
-def _classify_leaves(leaves):
+def _classify_leaves(leaves, batch: int = 0):
     """Split bundle leaves into a flat scalar vector; matrices are
-    scalarized row-major.  Returns (vector values, spec list) where each
-    spec is (kind, start, shape)."""
+    scalarized row-major; with ``batch`` > 0, (batch,)-shaped leaves (coeffs
+    adapted from per-row pot controls) become "row" leaves streamed to the
+    kernel as per-batch-tile VMEM blocks instead of SMEM scalars.  Returns
+    (vector values, spec list, row leaves) where each spec is
+    (kind, start, shape)."""
     vec = []
     specs = []
+    rows = []
     for leaf in leaves:
         arr = jnp.asarray(leaf, jnp.float32)
         if arr.size == 1:
             specs.append(("scalar", len(vec), ()))
             vec.append(arr.reshape(()))
+        elif batch and arr.shape == (batch,):
+            specs.append(("row", len(rows), ()))
+            rows.append(arr)
         elif arr.ndim == 2 and arr.size <= _MAX_STATIC_MATRIX:
             specs.append(("matrix", len(vec), arr.shape))
             for v in arr.reshape(-1):
@@ -72,16 +86,20 @@ def _classify_leaves(leaves):
         else:
             raise ValueError(
                 f"fused_circuit: unsupported coeff/param leaf shape {arr.shape}"
-                " (neural roots have their own kernel)"
+                " (neural roots have their own kernel; per-row pot controls"
+                " must not reach matrix-valued coeffs — keep the pot outside"
+                " R-type adaptors or use static_s)"
             )
-    return vec, specs
+    return vec, specs, rows
 
 
-def _rebuild_leaves(sc_ref, specs):
+def _rebuild_leaves(sc_ref, specs, row_views=()):
     out = []
     for kind, start, shape in specs:
         if kind == "scalar":
             out.append(sc_ref[0, start])
+        elif kind == "row":
+            out.append(row_views[start])  # (8, lanes) batch tile
         else:
             r, c = shape
             rows = [
@@ -89,6 +107,15 @@ def _rebuild_leaves(sc_ref, specs):
                 for i in range(r)
             ]
             out.append(_StaticMatrix(rows))
+    return out
+
+
+def _merge_controls(static_controls, row_controls):
+    """Deep-merge {node: {field: val}} dicts (row values win)."""
+    out = {k: dict(v) for k, v in (static_controls or {}).items()}
+    for node, fields in (row_controls or {}).items():
+        out.setdefault(node, {})
+        out[node].update(fields)
     return out
 
 
@@ -101,6 +128,7 @@ def _rebuild_leaves(sc_ref, specs):
         "lanes",
         "interpret",
         "root_override",
+        "root_tiled",
         "return_state_seq",
         "seq_packed",
     ),
@@ -113,11 +141,13 @@ def fused_circuit_process(
     *,
     input_node: str = "Vin",
     static_controls: Optional[Dict[str, Dict[str, Any]]] = None,
+    row_controls: Optional[Dict[str, Dict[str, Any]]] = None,
     time_chunk: int = 128,
     lanes: int = 0,
     interpret: bool = False,
     root_override=None,
     root_arrays: tuple = (),
+    root_tiled: tuple = (),
     return_state_seq: bool = False,
     seq_packed: bool = False,
 ):
@@ -131,7 +161,17 @@ def fused_circuit_process(
     root_override: optional ``(a, R_up, array_views) -> b`` replacing the
     circuit root's reflect inside the kernel; ``root_arrays`` are passed as
     whole VMEM blocks and handed to it (e.g. Kronecker-expanded MLP weights
-    — see :func:`fused_circuit_process_neural`).
+    — see :func:`fused_circuit_process_neural`).  ``root_tiled`` flags (per
+    root array) arrays of shape (nb, ...) carrying per-batch-tile data (e.g.
+    the per-row first-layer bias); their view inside the kernel is the
+    current batch tile's block.
+
+    row_controls: {node: {field: (B,)}} PER-ROW impedance controls (the
+    reference's measured pot, one R per 2048-sample chunk after hoisting —
+    ``clipper_pot.py:113-124`` / ``dataimport.py:109``).  Adaptation runs
+    batched outside the kernel; the resulting per-row coefficients stream in
+    as (8, lanes) batch tiles, so every batch element runs its own scatter
+    algebra at full VPU width.
 
     return_state_seq: additionally return the PRE-step state trajectory
     [S leaves of (B, T)] — z_{t-1} for every step t, the residual the
@@ -144,11 +184,16 @@ def fused_circuit_process(
     assert B % bt == 0 and T % time_chunk == 0, (B, T, lanes, time_chunk)
     nb, nt = B // bt, T // time_chunk
 
-    coeffs = circuit.adapt(params, static_controls or {})
+    adapt_controls = _merge_controls(static_controls, row_controls)
+    coeffs = circuit.adapt(params, adapt_controls)
     bundle = (coeffs, params, static_controls or {})
     leaves, treedef = jax.tree_util.tree_flatten(bundle)
-    vec, specs = _classify_leaves(leaves)
+    vec, specs, row_leaves = _classify_leaves(
+        leaves, batch=B if row_controls else 0
+    )
     sc = jnp.stack(vec).astype(jnp.float32)[None, :]
+    rows_p = tuple(_pack_state(r, lanes) for r in row_leaves)
+    n_row = len(rows_p)
 
     s_leaves, s_treedef = jax.tree_util.tree_flatten(state0)
     n_s = len(s_leaves)
@@ -168,10 +213,15 @@ def fused_circuit_process(
 
     n_seq = n_s if return_state_seq else 0
 
+    tiled = tuple(root_tiled) + (False,) * (n_root_arrays - len(root_tiled))
+
     def kernel(sc_ref, in_ref, z0_ref, *rest):
-        root_refs = rest[:n_root_arrays]
-        out_ref, zf_ref = rest[n_root_arrays : n_root_arrays + 2]
-        seq_refs = rest[n_root_arrays + 2 : n_root_arrays + 2 + n_seq]
+        row_refs = rest[:n_row]
+        root_refs = rest[n_row : n_row + n_root_arrays]
+        out_ref, zf_ref = rest[n_row + n_root_arrays : n_row + n_root_arrays + 2]
+        seq_refs = rest[
+            n_row + n_root_arrays + 2 : n_row + n_root_arrays + 2 + n_seq
+        ]
         z_scr = rest[-1]
         j = pl.program_id(1)
 
@@ -179,11 +229,14 @@ def fused_circuit_process(
         def _():
             z_scr[...] = z0_ref[0]
 
-        rebuilt = _rebuild_leaves(sc_ref, specs)
+        row_views = tuple(r[0] for r in row_refs)  # (8, lanes) batch tiles
+        rebuilt = _rebuild_leaves(sc_ref, specs, row_views)
         coeffs_k, params_k, static_k = jax.tree_util.tree_unflatten(
             treedef, rebuilt
         )
-        root_views = tuple(r[...] for r in root_refs)
+        root_views = tuple(
+            (r[0] if t else r[...]) for r, t in zip(root_refs, tiled)
+        )
 
         def body(t, _):
             v = in_ref[0, pl.ds(t * _SUB, _SUB), :]
@@ -227,6 +280,14 @@ def fused_circuit_process(
             shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
         )
 
+    def _tile_spec(shape):
+        # (nb, ...) per-batch-tile array: block = one batch tile's slice
+        return pl.BlockSpec(
+            (1,) + tuple(shape[1:]),
+            lambda i, j: (i,) + tuple(0 for _ in shape[1:]),
+            memory_space=pltpu.VMEM,
+        )
+
     results = pl.pallas_call(
         kernel,
         grid=(nb, nt),
@@ -242,7 +303,11 @@ def fused_circuit_process(
             pl.BlockSpec(
                 (1, zrows, lanes), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            *[_full(a.shape) for a in root_arrays],
+            *[_tile_spec(r.shape) for r in rows_p],
+            *[
+                _tile_spec(a.shape) if t else _full(a.shape)
+                for a, t in zip(root_arrays, tiled)
+            ],
         ],
         out_specs=[
             pl.BlockSpec(
@@ -269,7 +334,7 @@ def fused_circuit_process(
         ],
         scratch_shapes=[pltpu.VMEM((zrows, lanes), jnp.float32)],
         interpret=interpret,
-    )(sc, x, z0, *root_arrays)
+    )(sc, x, z0, *rows_p, *root_arrays)
 
     out, zf, *seqs = results
     out = _unpack(out, B, T, lanes)
@@ -319,6 +384,7 @@ def fused_circuit_process_neural(
     *,
     input_node: str = "Vin",
     static_controls: Optional[Dict[str, Dict[str, Any]]] = None,
+    row_controls: Optional[Dict[str, Dict[str, Any]]] = None,
     time_chunk: int = 128,
     lanes: int = 0,
     interpret: bool = False,
@@ -331,8 +397,12 @@ def fused_circuit_process_neural(
 
     The MLP rides the MXU via the same Kronecker expansion as
     ``fused_clipper_neural``; the tree scatter stays elementwise VPU work.
+    With per-row pot data (``row_controls``) the tree-top impedance — and
+    with it the MLP's log-R conditioning — is per batch row: the first
+    layer's bias is then packed per row (``_pack_c1``) and streamed as a
+    per-batch-tile block, exactly the clipper training kernel's scheme.
     """
-    from .fused_clipper import _kron_weights
+    from .fused_clipper import _kron_weights, _kron_weights_unbiased, _pack_c1
 
     acts = tuple(getattr(circuit.root, "activations", ()))
     if acts and (set(acts[:-1]) != {"tanh"} or acts[-1] not in ("", "linear")):
@@ -343,9 +413,22 @@ def fused_circuit_process_neural(
             f"with a linear head only; root has activations {acts} — use "
             "the scan engine for this model"
         )
-    coeffs = circuit.adapt(params, static_controls or {})
+    adapt_controls = _merge_controls(static_controls, row_controls)
+    coeffs = circuit.adapt(params, adapt_controls)
     log_r = jnp.log(coeffs[circuit.tree.name]["R"])
-    _, k1, c1, kh, ch, w3, b3 = _kron_weights(mlp_params, log_r)
+    if jnp.ndim(log_r) >= 1:  # per-row R reaches the root's conditioning
+        B, T = vin.shape
+        lanes = lanes or auto_lanes(B, T, time_chunk)
+        layers = mlp_params["layers"]
+        _, k1, kh, ch, w3, b3 = _kron_weights_unbiased(mlp_params)
+        c1 = _pack_c1(
+            jnp.broadcast_to(log_r, (B,)),
+            layers[0]["kernel"][1], layers[0]["bias"], lanes,
+        )  # (nb, H*8, lanes)
+        tiled = (False, True, False, False, False, False)
+    else:
+        _, k1, c1, kh, ch, w3, b3 = _kron_weights(mlp_params, log_r)
+        tiled = ()
     arrays = (k1, c1, kh, ch, w3, jnp.reshape(b3, (1, 1)))
     # the MLP weights travel as VMEM blocks, not scalarized params — drop
     # the root's fragment from the scalar bundle
@@ -357,11 +440,13 @@ def fused_circuit_process_neural(
         state0,
         input_node=input_node,
         static_controls=static_controls,
+        row_controls=row_controls,
         time_chunk=time_chunk,
         lanes=lanes,
         interpret=interpret,
         root_override=_mlp_root,
         root_arrays=arrays,
+        root_tiled=tiled,
         return_state_seq=return_state_seq,
         seq_packed=seq_packed,
     )

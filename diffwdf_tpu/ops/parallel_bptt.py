@@ -33,9 +33,14 @@ The reference's training differentiates an unrolled per-sample TF graph
   root all receive exact cotangents (the zero-cotangent restriction of the
   clipper-only engine is lifted).
 
-Restrictions: impedance-affecting drives must be batch-constant per call
-(hoisted ``static_controls`` or trainable params — the measured-pot per-row
-R workload stays on ``ops.clipper_train``); one scalar output probe.
+Impedance-affecting drives may be batch-constant (``static_controls``) or
+PER-ROW (``row_fields`` — the reference's measured-pot workload,
+``clipper_pot.py:113-124``, where every 2048-sample chunk carries its own
+source R): per-row adaptation runs batched outside the kernels and the
+resulting coefficients stream through forward and adjoint as batch tiles.
+Remaining restrictions: one scalar output probe; per-row controls must not
+reach matrix-valued coefficients (keep pots outside R-type adaptors, as the
+Tube Screamer's drive pot is).
 """
 
 from __future__ import annotations
@@ -119,7 +124,7 @@ def _affine_reverse_scan(M, b, lam_T, S):
 @functools.partial(
     jax.jit,
     static_argnames=("circuit", "input_node", "time_chunk", "lanes",
-                     "interpret", "root_override", "root_smem", "n_state"),
+                     "interpret", "root_override", "root_kinds", "n_state"),
 )
 def _fused_backward_kernel(
     circuit,
@@ -131,12 +136,13 @@ def _fused_backward_kernel(
     *,
     input_node: str,
     static_controls,
+    row_controls=None,
     time_chunk: int,
     lanes: int,
     interpret: bool,
     root_override=None,
     root_arrays: tuple = (),
-    root_smem: bool = False,
+    root_kinds: tuple = (),
     n_state: int = 1,
 ):
     """Reverse adjoint of the circuit recurrence as ONE Pallas kernel.
@@ -158,12 +164,14 @@ def _fused_backward_kernel(
     Returns (lam_step list of S packed (nb, T*8, lanes) — lam_t for step t,
     g_vin packed, g_z0 (nb, S*8, lanes)).
     """
-    from .fused_circuit import _classify_leaves, _rebuild_leaves
+    from .fused_circuit import _classify_leaves, _merge_controls, _rebuild_leaves
+    from .fused_clipper import _pack_state
 
     _SUB = 8
     nb, TS8, _lanes = vin_p.shape
     assert _lanes == lanes
     T = TS8 // _SUB
+    B = nb * _SUB * lanes
     # VMEM budget: (2 + S) in + (S + 1) out time-blocked tiles, double
     # buffered -> keep tc * lanes small enough that they all fit
     S = n_state
@@ -173,23 +181,30 @@ def _fused_backward_kernel(
     assert T % time_chunk == 0, (T, time_chunk)
     nt = T // time_chunk
 
-    coeffs = circuit.adapt(params, static_controls or {})
+    adapt_controls = _merge_controls(static_controls, row_controls)
+    coeffs = circuit.adapt(params, adapt_controls)
     bundle = (coeffs, params, static_controls or {})
     leaves, treedef = jax.tree_util.tree_flatten(bundle)
-    vec, specs = _classify_leaves(leaves)
+    vec, specs, row_leaves = _classify_leaves(
+        leaves, batch=B if row_controls else 0
+    )
     sc = jnp.stack(vec).astype(jnp.float32)[None, :]
+    rows_p = tuple(_pack_state(r, lanes) for r in row_leaves)
+    n_row = len(rows_p)
 
     s_treedef = jax.tree_util.tree_structure(circuit.init_state())
     root_arrays = tuple(jnp.asarray(a, jnp.float32) for a in root_arrays)
     n_root = len(root_arrays)
+    kinds = tuple(root_kinds) + ("vmem",) * (n_root - len(root_kinds))
 
     def kernel(sc_ref, in_ref, go_ref, *rest):
         zp_refs = rest[:S]
         lamT_ref = rest[S]
-        root_refs = rest[S + 1 : S + 1 + n_root]
-        lam_refs = rest[S + 1 + n_root : 2 * S + 1 + n_root]
-        gv_ref = rest[2 * S + 1 + n_root]
-        gz0_ref = rest[2 * S + 2 + n_root]
+        row_refs = rest[S + 1 : S + 1 + n_row]
+        root_refs = rest[S + 1 + n_row : S + 1 + n_row + n_root]
+        lam_refs = rest[S + 1 + n_row + n_root : 2 * S + 1 + n_row + n_root]
+        gv_ref = rest[2 * S + 1 + n_row + n_root]
+        gz0_ref = rest[2 * S + 2 + n_row + n_root]
         lam_scr = rest[-1]
         j = pl.program_id(1)
 
@@ -197,12 +212,14 @@ def _fused_backward_kernel(
         def _():
             lam_scr[...] = lamT_ref[0]
 
-        rebuilt = _rebuild_leaves(sc_ref, specs)
+        row_views = tuple(r[0] for r in row_refs)
+        rebuilt = _rebuild_leaves(sc_ref, specs, row_views)
         coeffs_k, params_k, static_k = jax.tree_util.tree_unflatten(
             treedef, rebuilt
         )
-        root_views = (
-            root_refs if root_smem else tuple(r[...] for r in root_refs)
+        root_views = tuple(
+            r if k == "smem" else (r[0] if k == "tile" else r[...])
+            for r, k in zip(root_refs, kinds)
         )
 
         def step_fn(st_vec, v):
@@ -270,11 +287,24 @@ def _fused_backward_kernel(
             memory_space=pltpu.VMEM,
         )
 
-    def _full(shape):
+    def _full(shape, space):
         return pl.BlockSpec(
-            shape, lambda i, j: tuple(0 for _ in shape),
-            memory_space=pltpu.SMEM if root_smem else pltpu.VMEM,
+            shape, lambda i, j: tuple(0 for _ in shape), memory_space=space
         )
+
+    def _tile_spec(shape):
+        return pl.BlockSpec(
+            (1,) + tuple(shape[1:]),
+            lambda i, j: (i,) + tuple(0 for _ in shape[1:]),
+            memory_space=pltpu.VMEM,
+        )
+
+    def _root_spec(shape, kind):
+        if kind == "smem":
+            return _full(shape, pltpu.SMEM)
+        if kind == "tile":
+            return _tile_spec(shape)
+        return _full(shape, pltpu.VMEM)
 
     results = pl.pallas_call(
         kernel,
@@ -290,7 +320,8 @@ def _fused_backward_kernel(
                 (1, zrows, lanes), lambda i, j: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),  # lam_T
-            *[_full(a.shape) for a in root_arrays],
+            *[_tile_spec(r.shape) for r in rows_p],
+            *[_root_spec(a.shape, k) for a, k in zip(root_arrays, kinds)],
         ],
         out_specs=[
             *[tspec() for _ in range(S)],  # lam_step
@@ -308,7 +339,7 @@ def _fused_backward_kernel(
         ],
         scratch_shapes=[pltpu.VMEM((zrows, lanes), jnp.float32)],
         interpret=interpret,
-    )(sc, vin_p, g_out_p, *z_prev_p, lam_T_p, *root_arrays)
+    )(sc, vin_p, g_out_p, *z_prev_p, lam_T_p, *rows_p, *root_arrays)
 
     lam_step = list(results[:S])
     g_vin_p = results[S]
@@ -316,11 +347,35 @@ def _fused_backward_kernel(
     return lam_step, g_vin_p, g_z0_p
 
 
+def _mlp_root_smem_rowc1(a, r_up, refs):
+    """NxH MLP root with a PER-ROW first-layer bias: the c1 tile
+    (H*8, lanes) carries W1[logR-col] * log R_row + b1 per batch element
+    (per-row pot data), hidden unit h in sublane rows [h*8, h*8+8).  SMEM
+    scalar-broadcast math otherwise identical to
+    ``deer_circuit._mlp_root_smem``."""
+    w1a, w2f, b2, w3, b3, c1t = refs
+    H = w1a.shape[1]
+    h = [
+        jnp.tanh(w1a[0, j] * a + c1t[j * 8 : (j + 1) * 8, :])
+        for j in range(H)
+    ]
+    for l in range(w2f.shape[0]):
+        h = [
+            jnp.tanh(
+                sum(w2f[l, j * H + i] * h[j] for j in range(H)) + b2[l, i]
+            )
+            for i in range(H)
+        ]
+    y = sum(w3[0, j] * h[j] for j in range(H)) + b3[0, 0]
+    return -y
+
+
 def make_fused_circuit_train_generic(
     circuit,
     *,
     input_node: str = "Vs",
     static_controls: Optional[Dict[str, Dict[str, Any]]] = None,
+    row_fields: tuple = (),
     time_chunk: int = 128,
     lanes: int = 0,
     interpret: bool = False,
@@ -335,13 +390,27 @@ def make_fused_circuit_train_generic(
     and ``z0_leaves``.  Semantics match ``circuit.process`` with hoisted
     adaptation.
 
+    row_fields: static tuple of (node, field) pairs naming PER-ROW impedance
+    controls — the reference's measured-pot training semantics
+    (``clipper_pot.py:113-124``: one source R per data row).  When non-empty
+    the returned fn takes a fourth argument ``row_vals`` (one (B,) array per
+    pair, data — zero cotangent); adaptation runs batched and the per-row
+    scatter coefficients stream through both the forward and adjoint kernels
+    as batch tiles.  This lifts the round-4 batch-constant-impedance
+    restriction: ANY circuit now trains the per-sample re-adaptation
+    workload at fused-adjoint speed.
+
     backward: "pallas" (default) runs the adjoint recurrence as one fused
     kernel (``_fused_backward_kernel``) and keeps every residual in the
     kernels' packed layout end-to-end; "xla" is the round-3 path (S+1
     linearize pulls + log-depth associative scan) kept as an oracle — both
     are gradchecked against scan BPTT.
     """
-    from .fused_circuit import fused_circuit_process, fused_circuit_process_neural
+    from .fused_circuit import (
+        _merge_controls,
+        fused_circuit_process,
+        fused_circuit_process_neural,
+    )
 
     assert len(circuit.outputs) == 1, (
         "parallel-BPTT engine assumes one scalar output probe"
@@ -352,11 +421,18 @@ def make_fused_circuit_train_generic(
     s_treedef = jax.tree_util.tree_structure(circuit.init_state())
     S = s_treedef.num_leaves
 
-    def fwd_kernel(params, vin, z0_leaves, want_seq):
+    def _rc(row_vals):
+        rc: Dict[str, Dict[str, Any]] = {}
+        for (node, field), val in zip(row_fields, row_vals):
+            rc.setdefault(node, {})[field] = jnp.asarray(val, jnp.float32)
+        return rc
+
+    def fwd_kernel(params, vin, z0_leaves, row_vals, want_seq):
         state0 = jax.tree_util.tree_unflatten(s_treedef, list(z0_leaves))
         kw = dict(
             input_node=input_node,
             static_controls=static_controls,
+            row_controls=_rc(row_vals) or None,
             time_chunk=time_chunk,
             lanes=lanes,
             interpret=interpret,
@@ -376,22 +452,25 @@ def make_fused_circuit_train_generic(
         return out, list(zf_leaves), seqs
 
     @jax.custom_vjp
-    def f(params, vin, z0_leaves):
-        out, zf, _ = fwd_kernel(params, vin, z0_leaves, False)
+    def f4(params, vin, z0_leaves, row_vals):
+        out, zf, _ = fwd_kernel(params, vin, z0_leaves, row_vals, False)
         return out, zf
 
-    def f_fwd(params, vin, z0_leaves):
-        out, zf, seqs = fwd_kernel(params, vin, z0_leaves, True)
-        return (out, zf), (params, vin, seqs)
+    def f_fwd(params, vin, z0_leaves, row_vals):
+        out, zf, seqs = fwd_kernel(params, vin, z0_leaves, row_vals, True)
+        return (out, zf), (params, vin, row_vals, seqs)
 
     def f_bwd_pallas(res, cot):
         from .deer_circuit import _mlp_root_smem
-        from .fused_clipper import _pack, _unpack, auto_lanes
+        from .fused_clipper import (
+            _pack, _pack_c1, _pack_state, _unpack, auto_lanes,
+        )
 
-        params, vin, seqs = res  # seqs: S packed (nb, T*8, lanes)
+        params, vin, row_vals, seqs = res  # seqs: S packed (nb, T*8, lanes)
         g_out, g_zf = cot
         B, T = vin.shape
         lanes_eff = lanes or auto_lanes(B, T, time_chunk)
+        rc = _rc(row_vals)
         vin_p = _pack(vin, lanes_eff)
         g_out_p = _pack(jnp.asarray(g_out), lanes_eff)
         lam_T_p = jnp.concatenate(
@@ -399,28 +478,40 @@ def make_fused_circuit_train_generic(
             axis=1,
         )
         if neural:
-            coeffs = circuit.adapt(params, static_controls or {})
+            coeffs = circuit.adapt(params, _merge_controls(static_controls, rc))
             log_r = jnp.log(coeffs[circuit.tree.name]["R"])
             layers = params[root_name]["layers"]
             W1, b1 = layers[0]["kernel"], layers[0]["bias"]
             W3, b3 = layers[-1]["kernel"], layers[-1]["bias"]
-            ras = (
-                W1[0:1, :],
-                (W1[1] * log_r + b1)[None, :],
-                jnp.stack([l["kernel"].reshape(-1) for l in layers[1:-1]]),
-                jnp.stack([l["bias"] for l in layers[1:-1]]),
-                W3[:, 0][None, :],
-                b3.reshape(1, 1),
-            )
+            w2f_s = jnp.stack([l["kernel"].reshape(-1) for l in layers[1:-1]])
+            b2_s = jnp.stack([l["bias"] for l in layers[1:-1]])
+            if rc:
+                c1_p = _pack_c1(
+                    jnp.broadcast_to(log_r, (B,)), W1[1], b1, lanes_eff
+                )
+                ras = (
+                    W1[0:1, :], w2f_s, b2_s, W3[:, 0][None, :],
+                    b3.reshape(1, 1), c1_p,
+                )
+                kinds = ("smem",) * 5 + ("tile",)
+                ro = _mlp_root_smem_rowc1
+            else:
+                ras = (
+                    W1[0:1, :],
+                    (W1[1] * log_r + b1)[None, :],
+                    w2f_s, b2_s, W3[:, 0][None, :], b3.reshape(1, 1),
+                )
+                kinds = ("smem",) * 6
+                ro = _mlp_root_smem
             k_params = {k: v for k, v in params.items() if k != root_name}
-            ro, rsm = _mlp_root_smem, True
         else:
-            k_params, ro, ras, rsm = params, None, (), False
+            k_params, ro, ras, kinds = params, None, (), ()
         lam_step_p, g_vin_p, g_z0_p = _fused_backward_kernel(
             circuit, k_params, vin_p, g_out_p, tuple(seqs), lam_T_p,
             input_node=input_node, static_controls=static_controls,
+            row_controls=rc or None,
             time_chunk=time_chunk, lanes=lanes_eff, interpret=interpret,
-            root_override=ro, root_arrays=ras, root_smem=rsm, n_state=S,
+            root_override=ro, root_arrays=ras, root_kinds=kinds, n_state=S,
         )
         g_vin = _unpack(g_vin_p, B, T, lanes_eff)
         g_z0 = [
@@ -435,8 +526,33 @@ def make_fused_circuit_train_generic(
         # chip-measured ~2x SLOWER for this reverse pass (grad_inner 3.05
         # -> 5.94 ms — the unrolled 16-wide FMA chains cost more than the
         # padded K=2/H matmuls they replaced; negative result kept in
-        # runs/probes/parallel_bptt_profile_elemwise_negative.json)
+        # runs/probes/parallel_bptt_profile_elemwise_negative.json).
+        # With per-row controls the packed arrays are viewed (nb, T, 8,
+        # lanes) so the (nb, 1, 8, lanes)-packed per-row coefficients
+        # broadcast across time.
+        nb = vin_p.shape[0]
+        shp = (nb, T, 8, lanes_eff)
+
         def inner(p):
+            if rc:
+                rc_p = {
+                    n: {
+                        fld: _pack_state(v, lanes_eff)[:, None]
+                        for fld, v in d.items()
+                    }
+                    for n, d in rc.items()
+                }
+                c = circuit.adapt(p, _merge_controls(static_controls, rc_p))
+                st = _batched_step(circuit, c, p, static_controls, input_node)
+                z_new, o = st(
+                    [s.reshape(shp) for s in seqs], vin_p.reshape(shp)
+                )
+                acc = jnp.sum(o * g_out_p.reshape(shp))
+                for k in range(S):
+                    acc = acc + jnp.sum(
+                        z_new[k] * lam_step_p[k].reshape(shp)
+                    )
+                return acc
             c = circuit.adapt(p, static_controls or {})
             st = _batched_step(circuit, c, p, static_controls, input_node)
             z_new, o = st(list(seqs), vin_p)
@@ -446,16 +562,24 @@ def make_fused_circuit_train_generic(
             return acc
 
         g_params = jax.grad(inner)(params)
-        return g_params, g_vin, g_z0
+        return g_params, g_vin, g_z0, tuple(
+            jnp.zeros_like(jnp.asarray(v)) for v in row_vals
+        )
 
     def f_bwd(res, cot):
         if backward == "pallas":
             return f_bwd_pallas(res, cot)
-        params, vin, seqs = res
+        params, vin, row_vals, seqs = res
         g_out, g_zf = cot  # (B, T), list of S (B,)
         lam_T = [jnp.asarray(g) for g in g_zf]  # S x (B,)
 
-        coeffs = circuit.adapt(params, static_controls or {})
+        # per-row controls enter the XLA path as (B, 1) so the adapted
+        # coefficients broadcast against the (B, T) trajectory arrays
+        rc1 = {
+            n: {fld: jnp.asarray(v)[:, None] for fld, v in d.items()}
+            for n, d in _rc(row_vals).items()
+        }
+        coeffs = circuit.adapt(params, _merge_controls(static_controls, rc1))
         step = _batched_step(circuit, coeffs, params, static_controls,
                              input_node)
         z_prev = seqs  # list of S (B, T) — state BEFORE each step
@@ -499,7 +623,7 @@ def make_fused_circuit_train_generic(
         # (one reverse pass through adapt + the batched step; sums over
         # (B, T) without materializing per-step parameter gradients)
         def inner(p):
-            c = circuit.adapt(p, static_controls or {})
+            c = circuit.adapt(p, _merge_controls(static_controls, rc1))
             st = _batched_step(circuit, c, p, static_controls, input_node)
             z_new, o = st(z_prev, vin)
             acc = jnp.sum(o * g_out)
@@ -509,7 +633,22 @@ def make_fused_circuit_train_generic(
 
         g_params = jax.grad(inner)(params)
         g_z0 = [lam_prev[k][:, 0] for k in range(S)]
-        return g_params, g_vin, g_z0
+        return g_params, g_vin, g_z0, tuple(
+            jnp.zeros_like(jnp.asarray(v)) for v in row_vals
+        )
 
-    f.defvjp(f_fwd, f_bwd)
+    f4.defvjp(f_fwd, f_bwd)
+    if row_fields:
+
+        def f(params, vin, z0_leaves, row_vals):
+            assert len(row_vals) == len(row_fields), (
+                f"expected {len(row_fields)} row_vals for {row_fields}"
+            )
+            return f4(params, vin, z0_leaves, tuple(row_vals))
+
+    else:
+
+        def f(params, vin, z0_leaves):
+            return f4(params, vin, z0_leaves, ())
+
     return f

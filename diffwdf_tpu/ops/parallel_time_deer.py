@@ -196,7 +196,23 @@ def _deer_kernel(const_ref, in_ref, out_ref, zf_ref, res_ref,
     z_scr[:] = jnp.zeros((L, _SUB, _LANE), jnp.float32)
     for _ in range(relax_passes):
         relax()
-    for _ in range(sweeps):
+
+    # partially-rolled sweep loop (u sweeps per trip, remainder unrolled):
+    # full trace-time unrolling bloats the executable and costs ~2 ms of
+    # host-side PER-DISPATCH processing (chip-measured on the generic
+    # solver; see deer_circuit's sweep loop), which dominates single-block
+    # serving latency; u=4 keeps the device-kernel time within ~10% of
+    # fully unrolled
+    u = min(sweeps, 4)
+    trips, rem = divmod(sweeps, u)
+
+    def _trip(i, c):
+        for _ in range(u):
+            sweep()
+        return c
+
+    jax.lax.fori_loop(0, trips, _trip, 0)
+    for _ in range(rem):
         sweep()
 
     # outputs: voltage probe 0.5 (z_new + z_prev) at the converged trajectory,

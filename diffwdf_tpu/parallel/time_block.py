@@ -34,15 +34,20 @@ from ..core.circuit import Circuit, _collect_impedance_controls
 
 try:  # jax >= 0.6 exposes shard_map at top level
     from jax import shard_map as _shard_map_fn
-
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map_fn(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map_old
+    from jax.experimental.shard_map import shard_map as _shard_map_fn
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+def shard_map(f, mesh, in_specs, out_specs, check_vma: bool = True):
+    """Version-compat shard_map.  ``check_vma=False`` is needed when the
+    body contains ``pallas_call`` (its out ShapeDtypeStructs carry no
+    varying-mesh-axes annotation, which the checker rejects); the bodies
+    that use it still psum every P()-replicated output explicitly."""
+    kw = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    try:
+        return _shard_map_fn(f, check_vma=check_vma, **kw)
+    except TypeError:  # pragma: no cover - older jax spells it check_rep
+        return _shard_map_fn(f, check_rep=check_vma, **kw)
 
 
 def warmup_for_tolerance(fc_hz: float, fs: float, tol: float = 1e-6) -> int:
@@ -117,6 +122,144 @@ def time_block_process(
     spec = jax.tree_util.tree_map(lambda _: P(axis), inputs)
     fn = shard_map(run, mesh, in_specs=(spec,), out_specs=P(axis))
     return fn(inputs)
+
+
+def make_time_block_train_step(
+    circuit: Circuit,
+    cfg,
+    mesh: Mesh,
+    *,
+    warmup: int = 256,
+    axis: str = "time",
+    input_node: str = "",
+    trainable_filter=None,
+):
+    """Overlap-save BPTT: train on ONE long sequence with its chunks
+    sharded over the mesh ``axis`` (SURVEY §2.4 config 5's training side —
+    round-4 left this axis inference-only).
+
+    Semantics: each device prepends the last ``warmup`` samples of its left
+    neighbor's block (one ``ppermute``), scans from zero state, and the
+    warm-up outputs are EXCLUDED from the loss — the reference's own
+    skip-50 practice (``clipper_pot.py:232``) generalized by
+    :func:`warmup_for_tolerance`; device 0 skips ``cfg.skip_samples``
+    exactly like the single-device loss.  The global MSE+ESR is assembled
+    from psum-reduced sums (the ESR energy normalization doesn't decompose
+    per shard) and the parameter gradient is psummed, so the step's
+    gradient equals the full-length single-scan BPTT gradient up to the
+    overlap truncation error, which decays like the circuit's state memory
+    exp(-warmup * 2 pi fc / fs).
+
+    Returns (opt, train_step, eval_step) with
+    ``train_step(params, opt_state, x, y) -> (params, opt_state, metrics)``
+    on [T] arrays sharded P(axis) (T divisible by the axis size).
+    """
+    import optax
+
+    from ..training.circuit_train import CircuitTrainConfig  # noqa: F401
+    from ..training.losses import pre_emphasis
+
+    opt = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=0.999)
+    node = input_node or (
+        "Vin" if "Vin" in circuit.init_params() else "Vs"
+    )
+    D = mesh.shape[axis]
+    state0 = circuit.init_state()
+    eps = jnp.float32(jnp.finfo(jnp.float32).eps)
+
+    def local_sums(params, x, y):
+        """Local masked sums.  All collectives stay OUTSIDE this function:
+        an in-graph psum's AD transpose re-psums the replicated cotangent
+        — a D-times double count (measured exactly 8x on the 8-device
+        mesh).  The global loss is assembled from these sums after
+        differentiation and the exact chain-rule factor applied (see
+        data_parallel._make_dp_train_step_shard_map, same scheme)."""
+        st0 = jax.tree_util.tree_map(
+            lambda s: jax.lax.pcast(s, (axis,), to="varying"), state0
+        )
+        prev = jax.lax.ppermute(
+            x[-warmup:], axis, [(i, (i + 1) % D) for i in range(D)]
+        )
+        idx = jax.lax.axis_index(axis)
+        gate = jnp.where(idx == 0, 0.0, 1.0)  # cold-start silence on dev 0
+        ext = jnp.concatenate([gate * prev, x])
+        out, _ = circuit.process(
+            params, st0, {node: {"v": ext}},
+            checkpoint=getattr(cfg, "checkpoint_scan", False),
+            unroll=getattr(cfg, "unroll", 1),
+        )
+        o = out[warmup:]
+        t = y
+        if getattr(cfg, "use_pre_emphasis", False):
+            o, t = pre_emphasis(o, axis=0), pre_emphasis(t, axis=0)
+        keep = jnp.arange(x.shape[0]) >= jnp.where(
+            idx == 0, cfg.skip_samples, 0
+        )
+        mask = keep.astype(jnp.float32)
+        se = jnp.sum(mask * jnp.square(o - t))
+        te = jnp.sum(mask * jnp.square(t))
+        n = jnp.sum(mask)
+        return se, (te, n)
+
+    def _assemble(se_l, te_l, n_l):
+        se = jax.lax.psum(se_l, axis)
+        te = jax.lax.psum(te_l, axis)
+        n = jax.lax.psum(n_l, axis)
+        m = se / n
+        e = jnp.sqrt(se / (te + eps) / n)
+        return se, n, m, e
+
+    def loss_local(params, x, y):
+        se_l, (te_l, n_l) = local_sums(params, x, y)
+        _, _, m, e = _assemble(se_l, te_l, n_l)
+        return m + e, {"mse": m, "esr": e}
+
+    def grads_local(params, x, y):
+        (se_l, (te_l, n_l)), g = jax.value_and_grad(
+            local_sums, has_aux=True
+        )(params, x, y)
+        se, n, m, e = _assemble(se_l, te_l, n_l)
+        # NO explicit psum on g: under check_vma=True (this shard_map),
+        # grad wrt a replicated (P()) input already carries the implicit
+        # psum — the transpose of the invariant->varying broadcast — so g
+        # here IS d(global se)/d(params).  (Verified against both a
+        # minimal repro and the full-length scan oracle; contrast
+        # data_parallel's check_vma=False path, where the grad is local
+        # and the psum is explicit.)
+        coef = 1.0 / n + e / (2.0 * jnp.maximum(se, eps))
+        g = jax.tree_util.tree_map(lambda gg: coef * gg, g)
+        if trainable_filter is not None:
+            g = trainable_filter(g)
+        return m + e, {"mse": m, "esr": e}, g
+
+    sm_grads = shard_map(
+        grads_local, mesh, in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+    )
+    sm_loss = shard_map(
+        loss_local, mesh, in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )
+
+    @jax.jit
+    def _train_jit(params, opt_state, x, y):
+        loss, aux, g = sm_grads(params, x, y)
+        updates, opt_state = opt.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, **aux}
+
+    def train_step(params, opt_state, x, y):
+        return _train_jit(params, opt_state, x, y)
+
+    # for the gradient-vs-long-scan validation tests
+    train_step.grads_fn = jax.jit(sm_grads)
+
+    @jax.jit
+    def eval_step(params, x, y):
+        loss, aux = sm_loss(params, x, y)
+        return {"loss": loss, **aux}
+
+    return opt, train_step, eval_step
 
 
 def time_block_process_exact(

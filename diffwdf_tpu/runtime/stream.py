@@ -721,11 +721,15 @@ def make_hpf_processor(
                 # lands BELOW the sequential f32 scan's own drift from a
                 # float64 oracle (2.7e-5 vs 4.9e-5 at T=16384,
                 # runs/probes/hpf_marginal_probe.json); 24 sweeps left a
-                # ~3e-4 unconverged residual
+                # ~3e-4 unconverged residual.  48 is the CAP: the
+                # residual-adaptive loop (adapt_tol) exits early on blocks
+                # that converge sooner — accuracy is still certified per
+                # block by the residual + scan fallback
                 out, st, res = solver(
                     ckt, params, v, input_node="Vs",
                     static_controls=static_controls, state0=state,
-                    sweeps=48, damping=0.5, interpret=interp,
+                    sweeps=48, damping=0.5, adapt_tol=1e-5,
+                    interpret=interp,
                 )
                 return out, st, res
 

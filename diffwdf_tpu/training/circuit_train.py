@@ -47,10 +47,14 @@ class CircuitTrainConfig:
     engine: str = "scan"  # "scan" (general BPTT) | "fused" (Pallas forward +
     # associative-scan backward, ops.clipper_train; LPF clipper + neural
     # root + hoisted per-chunk R only) | "fused_generic" (ops.parallel_bptt:
-    # ANY circuit/root, full param cotangents incl. components; requires
-    # batch-constant impedance controls — no per-row R)
+    # ANY circuit/root, full param cotangents incl. components, per-row pot
+    # data via hoisted "r0" batches)
     engine_backward: str = "pallas"  # fused_generic adjoint: "pallas" (one
     # fused kernel) | "xla" (round-3 linearize + associative scan, oracle)
+    pot_node: str = ""  # node the hoisted "r0" stream drives on the
+    # fused_generic engine ("" = auto: "Vs" for the clipper family; set
+    # "R6" for a Tube Screamer drive-pot sweep)
+    pot_field: str = "R"
 
 
 def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunks=None,
@@ -177,41 +181,99 @@ def _make_fused_forward(circuit: Circuit, cfg: CircuitTrainConfig):
 def _make_fused_generic_forward(circuit: Circuit, cfg: CircuitTrainConfig):
     """Forward via the generic differentiable fused engine
     (ops.parallel_bptt): any circuit topology / root family, exact
-    cotangents for every param.  Requires batch-constant impedance controls
-    (per-row "r"/"r0" streams stay on engine="scan"/"fused"); rows are
-    zero-padded to the kernel's 1024-row tile — the hardware's minimum VPU
-    tile, so sub-1024 batches cost the same cycles either way."""
+    cotangents for every param.  Hoisted per-row pot data ("r0" batches —
+    the reference's measured-data regime, one R per CSV chunk) streams
+    through both kernels as per-row scatter coefficients on the node named
+    by ``cfg.pot_node`` (default "Vs"); rows are zero-padded to the
+    kernel's 1024-row tile — the hardware's minimum VPU tile, so sub-1024
+    batches cost the same cycles either way."""
     from ..ops.parallel_bptt import make_fused_circuit_train_generic
 
-    input_node = "Vin" if "Vin" in circuit.init_params() else "Vs"
-    f = make_fused_circuit_train_generic(
-        circuit, input_node=input_node,
-        interpret=jax.default_backend() not in ("tpu",),
+    init_p = circuit.init_params()
+    input_node = "Vin" if "Vin" in init_p else "Vs"
+    pot_node = cfg.pot_node or "Vs"
+    interpret = jax.default_backend() not in ("tpu",)
+    f_plain = make_fused_circuit_train_generic(
+        circuit, input_node=input_node, interpret=interpret,
         backward=cfg.engine_backward,
     )
+    f_row = make_fused_circuit_train_generic(
+        circuit, input_node=input_node, interpret=interpret,
+        backward=cfg.engine_backward,
+        row_fields=((pot_node, cfg.pot_field),),
+    )
+    default_r = float(init_p.get(pot_node, {}).get(cfg.pot_field, 1.0))
     s_leaves = jax.tree_util.tree_leaves(circuit.init_state())
     tile = 1024
 
     def forward(params, batches):
-        assert "r" not in batches and "r0" not in batches, (
-            "fused_generic requires batch-constant impedance controls; "
-            "use engine='fused' (clipper) or 'scan' for per-row R"
+        assert "r" not in batches, (
+            "fused_generic takes hoisted per-row pot data ('r0'); a "
+            "genuinely per-SAMPLE r stream inside one chunk stays on "
+            "engine='scan' (reference data is piecewise-constant per "
+            "file, dataimport.py:109 — make_clipper_batches hoists it)"
         )
         v = batches["x"]
         B = v.shape[0]
         pad = (-B) % tile
+        r0 = batches.get("r0")
         if pad:
             v = jnp.concatenate([v, jnp.zeros((pad, v.shape[1]), v.dtype)])
+            if r0 is not None:
+                r0 = jnp.concatenate(
+                    [r0, jnp.full((pad,), default_r, r0.dtype)]
+                )
         z0 = [
             jnp.broadcast_to(
                 jnp.asarray(l, jnp.float32).reshape(()), (v.shape[0],)
             )
             for l in s_leaves
         ]
-        out, _ = f(params, v, z0)
+        if r0 is not None:
+            out, _ = f_row(params, v, z0, (r0,))
+        else:
+            out, _ = f_plain(params, v, z0)
         return out[:B]
 
     return forward
+
+
+def make_forward_fn(circuit: Circuit, cfg: CircuitTrainConfig):
+    """The engine-selected training forward: (params, batches) -> outs."""
+    if cfg.engine == "fused":
+        return _make_fused_forward(circuit, cfg)
+    if cfg.engine == "fused_generic":
+        return _make_fused_generic_forward(circuit, cfg)
+    return lambda params, batches: clipper_forward(
+        circuit, params, batches, cfg.checkpoint_scan, cfg.unroll
+    )
+
+
+def make_loss_fn(circuit: Circuit, cfg: CircuitTrainConfig):
+    """Build the training loss (params, batches) -> (loss, {"mse","esr"}).
+
+    NOTE for mesh use: do NOT wrap this in psums inside a differentiated
+    shard_map body — the AD transpose of an in-graph psum re-psums the
+    replicated cotangent (a D-times double count).  The data-parallel and
+    time-block training steps instead differentiate LOCAL sums and apply
+    the global chain-rule factor after the collective
+    (``parallel.data_parallel._make_dp_train_step_shard_map``).
+    """
+    emphasis = (lambda t: pre_emphasis(t, axis=1)) if cfg.use_pre_emphasis else None
+    forward = make_forward_fn(circuit, cfg)
+
+    def loss_fn(params, batches):
+        outs = forward(params, batches)
+        y = batches["y"]
+        o = outs[:, cfg.skip_samples :]
+        t = y[:, cfg.skip_samples :]
+        if emphasis is not None:
+            o, t = emphasis(o), emphasis(t)
+        m = mse(t, o)
+        e = esr(t, o)
+        return m + e, {"mse": m, "esr": e}
+
+    return loss_fn
 
 
 def make_train_step(
@@ -221,27 +283,7 @@ def make_train_step(
 ):
     """Build the jitted (params, opt_state, batches) -> ... training step."""
     opt = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=0.999)
-    emphasis = (lambda t: pre_emphasis(t, axis=1)) if cfg.use_pre_emphasis else None
-    fused_forward = None
-    if cfg.engine == "fused":
-        fused_forward = _make_fused_forward(circuit, cfg)
-    elif cfg.engine == "fused_generic":
-        fused_forward = _make_fused_generic_forward(circuit, cfg)
-
-    def loss_fn(params, batches):
-        if fused_forward is not None:
-            outs = fused_forward(params, batches)
-        else:
-            outs = clipper_forward(circuit, params, batches,
-                                   cfg.checkpoint_scan, cfg.unroll)
-        y = batches["y"]
-        o = outs[:, cfg.skip_samples :]
-        t = y[:, cfg.skip_samples :]
-        if emphasis is not None:
-            o, t = emphasis(o), emphasis(t)
-        m = mse(t, o)
-        e = esr(t, o)
-        return m + e, {"mse": m, "esr": e}
+    loss_fn = make_loss_fn(circuit, cfg)
 
     @jax.jit
     def train_step(params, opt_state, batches):

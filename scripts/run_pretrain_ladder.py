@@ -48,7 +48,11 @@ LADDER = [
 
 def main():
     epochs = int(os.environ.get("LADDER_EPOCHS", "2000"))
-    n_seeds = int(os.environ.get("LADDER_SEEDS", "5"))
+    n_seeds_default = int(os.environ.get("LADDER_SEEDS", "5"))
+    # per-rung seed-count overrides, e.g. '{"2U-3D": 17}' (substring match) —
+    # matches the committed artifact's policy where the thinnest rung needed
+    # a larger pool
+    overrides = json.loads(os.environ.get("LADDER_SEEDS_JSON", "{}"))
     out_json = os.environ.get("LADDER_OUT", "PRETRAIN_RESULTS.json")
     out_dir = os.environ.get("LADDER_MODELS_DIR", "models/pretrained")
     os.makedirs(out_dir, exist_ok=True)
@@ -57,6 +61,10 @@ def main():
     for diode_name, layers, width, ref in LADDER:
         if only and only not in f"{diode_name} {layers}x{width}":
             continue
+        n_seeds = n_seeds_default
+        for sub, cnt in overrides.items():
+            if sub in f"{diode_name} {layers}x{width}":
+                n_seeds = int(cnt)
         diode = ALL_1N4148[diode_name]
         # Parity settings = the reference's exact hyperparameters
         # (diode_pretraining.py:26-31,158-160: Adam 2e-5, 2000 epochs, batch
@@ -75,13 +83,24 @@ def main():
         params_all, acts, metrics = pretrain_diode_multiseed(diode, cfg, seeds)
         dt = time.time() - t0
         best = None
+        per_seed = []
         for si, seed in enumerate(seeds):
             p = jax.tree_util.tree_map(lambda a: a[si], params_all)
             final = evaluate_pretrained(p, acts, diode, cfg)
             tot = final["mse"] + final["esr"]
+            per_seed.append(
+                {"seed": seed, "mse": final["mse"], "esr": final["esr"]}
+            )
             if best is None or tot < best[0]:
                 best = (tot, seed, p, final)
         _, seed, params, final = best
+        # median SEED (the seed whose mse+esr sits in the middle of the
+        # pool): a lottery-free robustness figure beside best-of-N
+        # (round-5 VERDICT #6) — reporting that seed's actual (mse, esr)
+        # pair, not coordinate-wise medians, so the row is a run that
+        # exists
+        ranked = sorted(per_seed, key=lambda r: r["mse"] + r["esr"])
+        med = ranked[len(ranked) // 2]
         rec = {
             "diode": diode_name,
             "arch": f"{layers}x{width}",
@@ -98,6 +117,13 @@ def main():
             "beats_ref": bool(
                 final["mse"] <= ref["mse"] and final["esr"] <= ref["esr"]
             ),
+            "median_seed": med["seed"],
+            "median_mse": med["mse"],
+            "median_esr": med["esr"],
+            "beats_ref_median": bool(
+                med["mse"] <= ref["mse"] and med["esr"] <= ref["esr"]
+            ),
+            "per_seed": per_seed,
             "mode": "reference-parity",
         }
         print(json.dumps(rec), flush=True)

@@ -78,6 +78,42 @@ def test_hpf_needs_damping():
     assert err_good < err_bad / 100
 
 
+def test_adaptive_sweeps_early_exit():
+    """Residual-adaptive mode (round-5): with adapt_tol > 0 the sweep loop
+    early-exits on the max state update.  On the HPF's marginal mode the
+    adaptive solve matches the fixed-48-sweep trajectory at the same
+    accuracy; on the contractive plain clipper it exits after FAR fewer
+    sweeps than the cap."""
+    root = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d,
+                              quality="best")
+    hpf = make_hpf_diode_clipper(root, FS)
+    params = {**hpf.init_params(), **root.init_params()}
+    rng = np.random.default_rng(5)
+    vin = jnp.asarray((2.0 * rng.standard_normal(2048)).astype(np.float32))
+    ref, _ = hpf.process(params, hpf.init_state(), {"Vs": {"v": vin}})
+
+    fixed, _, _ = fused_deer_circuit(hpf, params, vin, input_node="Vs",
+                                     sweeps=48, damping=0.5, interpret=True)
+    adap, _, res, n = fused_deer_circuit(
+        hpf, params, vin, input_node="Vs", sweeps=48, damping=0.5,
+        adapt_tol=1e-5, return_info=True, interpret=True)
+    assert float(n) <= 48
+    err_fixed = float(jnp.max(jnp.abs(fixed - ref)))
+    err_adap = float(jnp.max(jnp.abs(adap - ref)))
+    # same accuracy class as the fixed budget (both at/below the f32 drift)
+    assert err_adap < max(2.0 * err_fixed, 3e-4), (err_adap, err_fixed)
+
+    # contractive circuit: the adaptive loop stops well before the cap
+    ckt = make_diode_clipper(root, FS)
+    cparams = {**ckt.init_params(), **root.init_params()}
+    cref, _ = ckt.process(cparams, ckt.init_state(), {"Vs": {"v": vin}})
+    cad, _, _, nc = fused_deer_circuit(
+        ckt, cparams, vin, input_node="Vs", sweeps=48,
+        adapt_tol=1e-6, return_info=True, interpret=True)
+    assert float(nc) < 24, float(nc)
+    assert float(jnp.max(jnp.abs(cad - cref))) < 1e-5
+
+
 def test_xla_deer_damping_matches():
     """The damping knob on the XLA path fixes the same HPF oscillation."""
     from diffwdf_tpu.ops.parallel_time import parallel_time_process
