@@ -572,6 +572,49 @@ def main():
         "speedup_vs_scan": gen_sps / scan_sps,
     }
 
+    _p("generic fused training, PER-ROW drive pot (round-5)")
+    # the reference's actual flagship semantics on a non-clipper circuit:
+    # every data row carries its own pot value (clipper_pot.py:113-124
+    # generalized to the TS drive pot, TubeScreamer.cpp:66).  Round 4
+    # rejected this on the generic engine ("use engine='scan'"); the
+    # per-row coefficient streams now run it at fused-adjoint speed.
+    from diffwdf_tpu.models.tube_screamer import drive_to_r6
+
+    r6_rows = jnp.asarray(
+        drive_to_r6(
+            np.random.default_rng(3).uniform(0.0, 1.0, n_seq_ts)
+        ).astype(np.float32)
+    )
+    tbt_row = {**tbt, "r0": r6_rows}
+    tbt_row_small = {k: v[:128] for k, v in tbt_row.items()}
+    _, ts_step_scan_r, _ = make_train_step(
+        ts_tr, CircuitTrainConfig(unroll=4, pot_node="R6")
+    )
+    _, ts_step_gen_r, _ = make_train_step(
+        ts_tr, CircuitTrainConfig(engine="fused_generic", pot_node="R6")
+    )
+    dt_ts_scan_r = _timeit(
+        lambda b: ts_step_scan_r(ts_tr_params, _ts_opt_state, b)[2]["loss"],
+        [tbt_row_small], n=10, label="training_step_scan_ts_rowpot",
+    )
+    dt_ts_gen_r = _timeit(
+        lambda b: ts_step_gen_r(ts_tr_params, _ts_opt_state, b)[2]["loss"],
+        [tbt_row], n=10, label="training_step_fused_ts_rowpot",
+    )
+    scan_r_sps = 128 * T_tr / dt_ts_scan_r
+    gen_r_sps = n_seq_ts * T_tr / dt_ts_gen_r
+    details["training_step_fused_ts_rowpot"] = {
+        "n_seq": n_seq_ts,
+        "T": T_tr,
+        "pot": "R6 per row, drive uniform [0,1]",
+        "ms": dt_ts_gen_r * 1e3,
+        "samples_per_s": gen_r_sps,
+        "scan_n_seq": 128,
+        "scan_ms": dt_ts_scan_r * 1e3,
+        "scan_samples_per_s": scan_r_sps,
+        "speedup_vs_scan": gen_r_sps / scan_r_sps,
+    }
+
     _p("single-stream parallel-in-time")
     # --- single-stream latency regime: sequential scan vs parallel-in-time
     from diffwdf_tpu.ops.parallel_time import parallel_time_process

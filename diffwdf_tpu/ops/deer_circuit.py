@@ -124,7 +124,7 @@ def fused_deer_circuit(
     coeffs = circuit.adapt(params, static_controls or {})
     bundle = (coeffs, params, static_controls or {})
     leaves, treedef = jax.tree_util.tree_flatten(bundle)
-    vec, specs, _no_rows = _classify_leaves(leaves)
+    vec, specs, _no_rows, _no_times = _classify_leaves(leaves)
 
     s_leaves, s_treedef = jax.tree_util.tree_flatten(state0)
     S = len(s_leaves)

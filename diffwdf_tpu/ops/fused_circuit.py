@@ -17,9 +17,9 @@ This is the serving path for the complex-topology circuits (Tube Screamer's
 ``TubeScreamer.cpp:43-56`` and ``HPFDiodeClipper.cpp:44-55``.
 
 Restrictions (by design, not fundamental):
-- impedance-affecting controls must be block-rate (in ``static_controls``),
-  not per-sample — same restriction as the reference C++ engine, which
-  re-adapts only on parameter changes;
+- impedance-affecting controls are block-rate (``static_controls``) or
+  per-row / per-sample pot streams (``row_controls`` — round 5; the
+  reference C++ engine re-adapts only on parameter changes);
 - per-sample drive is a single voltage input node;
 - root/adaptor parameters must be scalars or small matrices (the R-type
   S-matrix); 2xH neural-MLP roots ride through the root-override hook
@@ -61,16 +61,19 @@ class _StaticMatrix:
         return self.rows[i][j]
 
 
-def _classify_leaves(leaves, batch: int = 0):
+def _classify_leaves(leaves, batch: int = 0, time: int = 0):
     """Split bundle leaves into a flat scalar vector; matrices are
     scalarized row-major; with ``batch`` > 0, (batch,)-shaped leaves (coeffs
     adapted from per-row pot controls) become "row" leaves streamed to the
-    kernel as per-batch-tile VMEM blocks instead of SMEM scalars.  Returns
-    (vector values, spec list, row leaves) where each spec is
-    (kind, start, shape)."""
+    kernel as per-batch-tile VMEM blocks instead of SMEM scalars; with
+    ``time`` > 0, (batch, time)-shaped leaves (a genuinely per-SAMPLE pot)
+    become "time" leaves streamed like the drive signal and re-read per
+    step.  Returns (vector values, spec list, row leaves, time leaves)
+    where each spec is (kind, start, shape)."""
     vec = []
     specs = []
     rows = []
+    times = []
     for leaf in leaves:
         arr = jnp.asarray(leaf, jnp.float32)
         if arr.size == 1:
@@ -79,6 +82,9 @@ def _classify_leaves(leaves, batch: int = 0):
         elif batch and arr.shape == (batch,):
             specs.append(("row", len(rows), ()))
             rows.append(arr)
+        elif batch and time and arr.shape == (batch, time):
+            specs.append(("time", len(times), ()))
+            times.append(arr)
         elif arr.ndim == 2 and arr.size <= _MAX_STATIC_MATRIX:
             specs.append(("matrix", len(vec), arr.shape))
             for v in arr.reshape(-1):
@@ -86,20 +92,24 @@ def _classify_leaves(leaves, batch: int = 0):
         else:
             raise ValueError(
                 f"fused_circuit: unsupported coeff/param leaf shape {arr.shape}"
-                " (neural roots have their own kernel; per-row pot controls"
-                " must not reach matrix-valued coeffs — keep the pot outside"
-                " R-type adaptors or use static_s)"
+                " (neural roots have their own kernel; per-row/per-sample pot"
+                " controls must not reach matrix-valued coeffs — keep the pot"
+                " outside R-type adaptors or use static_s)"
             )
-    return vec, specs, rows
+    return vec, specs, rows, times
 
 
-def _rebuild_leaves(sc_ref, specs, row_views=()):
+def _rebuild_leaves(sc_ref, specs, row_views=(), time_views=()):
+    """time_views: per-STEP (8, lanes) tiles of each time leaf (the caller
+    slices the streamed block at the current step before rebuilding)."""
     out = []
     for kind, start, shape in specs:
         if kind == "scalar":
             out.append(sc_ref[0, start])
         elif kind == "row":
             out.append(row_views[start])  # (8, lanes) batch tile
+        elif kind == "time":
+            out.append(time_views[start])  # (8, lanes) tile AT this step
         else:
             r, c = shape
             rows = [
@@ -166,12 +176,13 @@ def fused_circuit_process(
     the per-row first-layer bias); their view inside the kernel is the
     current batch tile's block.
 
-    row_controls: {node: {field: (B,)}} PER-ROW impedance controls (the
-    reference's measured pot, one R per 2048-sample chunk after hoisting —
-    ``clipper_pot.py:113-124`` / ``dataimport.py:109``).  Adaptation runs
-    batched outside the kernel; the resulting per-row coefficients stream in
-    as (8, lanes) batch tiles, so every batch element runs its own scatter
-    algebra at full VPU width.
+    row_controls: {node: {field: (B,) | (B, T)}} PER-ROW or PER-SAMPLE
+    impedance controls (the reference's measured pot — one R per chunk
+    after hoisting, ``dataimport.py:109``, or genuinely time-varying,
+    ``clipper_pot.py:113-124``).  Adaptation runs batched outside the
+    kernel; per-row coefficients stream in as (8, lanes) batch tiles,
+    per-sample ones as full (B, T) streams sliced at each step, so every
+    batch element runs its own scatter algebra at full VPU width.
 
     return_state_seq: additionally return the PRE-step state trajectory
     [S leaves of (B, T)] — z_{t-1} for every step t, the residual the
@@ -188,12 +199,16 @@ def fused_circuit_process(
     coeffs = circuit.adapt(params, adapt_controls)
     bundle = (coeffs, params, static_controls or {})
     leaves, treedef = jax.tree_util.tree_flatten(bundle)
-    vec, specs, row_leaves = _classify_leaves(
-        leaves, batch=B if row_controls else 0
+    vec, specs, row_leaves, time_leaves = _classify_leaves(
+        leaves,
+        batch=B if row_controls else 0,
+        time=T if row_controls else 0,
     )
     sc = jnp.stack(vec).astype(jnp.float32)[None, :]
     rows_p = tuple(_pack_state(r, lanes) for r in row_leaves)
     n_row = len(rows_p)
+    times_p = tuple(_pack(t, lanes) for t in time_leaves)
+    n_time = len(times_p)
 
     s_leaves, s_treedef = jax.tree_util.tree_flatten(state0)
     n_s = len(s_leaves)
@@ -217,10 +232,12 @@ def fused_circuit_process(
 
     def kernel(sc_ref, in_ref, z0_ref, *rest):
         row_refs = rest[:n_row]
-        root_refs = rest[n_row : n_row + n_root_arrays]
-        out_ref, zf_ref = rest[n_row + n_root_arrays : n_row + n_root_arrays + 2]
+        time_refs = rest[n_row : n_row + n_time]
+        nrt = n_row + n_time
+        root_refs = rest[nrt : nrt + n_root_arrays]
+        out_ref, zf_ref = rest[nrt + n_root_arrays : nrt + n_root_arrays + 2]
         seq_refs = rest[
-            n_row + n_root_arrays + 2 : n_row + n_root_arrays + 2 + n_seq
+            nrt + n_root_arrays + 2 : nrt + n_root_arrays + 2 + n_seq
         ]
         z_scr = rest[-1]
         j = pl.program_id(1)
@@ -230,16 +247,33 @@ def fused_circuit_process(
             z_scr[...] = z0_ref[0]
 
         row_views = tuple(r[0] for r in row_refs)  # (8, lanes) batch tiles
-        rebuilt = _rebuild_leaves(sc_ref, specs, row_views)
-        coeffs_k, params_k, static_k = jax.tree_util.tree_unflatten(
-            treedef, rebuilt
-        )
+
+        if n_time == 0:  # step-invariant: rebuild once, outside the loop
+            _ctx = jax.tree_util.tree_unflatten(
+                treedef, _rebuild_leaves(sc_ref, specs, row_views)
+            )
+
+            def ctx_at(t):
+                return _ctx
+
+        else:
+
+            def ctx_at(t):
+                """(coeffs, params, static) with the per-sample pot
+                streams sliced at step t."""
+                tv = tuple(
+                    tr[0, pl.ds(t * _SUB, _SUB), :] for tr in time_refs
+                )
+                rebuilt = _rebuild_leaves(sc_ref, specs, row_views, tv)
+                return jax.tree_util.tree_unflatten(treedef, rebuilt)
+
         root_views = tuple(
             (r[0] if t else r[...]) for r, t in zip(root_refs, tiled)
         )
 
         def body(t, _):
             v = in_ref[0, pl.ds(t * _SUB, _SUB), :]
+            coeffs_k, params_k, static_k = ctx_at(t)
             st_leaves = [
                 z_scr[pl.ds(k * _SUB, _SUB), :] for k in range(n_s)
             ]
@@ -305,6 +339,14 @@ def fused_circuit_process(
             ),
             *[_tile_spec(r.shape) for r in rows_p],
             *[
+                pl.BlockSpec(
+                    (1, time_chunk * _SUB, lanes),
+                    lambda i, j: (i, j, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                for _ in times_p
+            ],
+            *[
                 _tile_spec(a.shape) if t else _full(a.shape)
                 for a, t in zip(root_arrays, tiled)
             ],
@@ -334,7 +376,7 @@ def fused_circuit_process(
         ],
         scratch_shapes=[pltpu.VMEM((zrows, lanes), jnp.float32)],
         interpret=interpret,
-    )(sc, x, z0, *rows_p, *root_arrays)
+    )(sc, x, z0, *rows_p, *times_p, *root_arrays)
 
     out, zf, *seqs = results
     out = _unpack(out, B, T, lanes)
@@ -369,6 +411,26 @@ def _mlp_root(a, r_up, views):
     ``deer_circuit._mlp_root_smem``, exact-f32 VPU math, instead)."""
     k1, c1, kh, ch, w3, b3 = views
     h = jnp.tanh(jnp.dot(k1, a, preferred_element_type=jnp.float32) + c1)
+    for l in range(kh.shape[0]):
+        h = jnp.tanh(jnp.dot(kh[l], h, preferred_element_type=jnp.float32) + ch[l])
+    y = jnp.dot(w3, h, preferred_element_type=jnp.float32) + b3[0, 0]
+    return -y
+
+
+def _mlp_root_timevar(a, r_up, views):
+    """Kron-expanded NxH MLP root with PER-SAMPLE R conditioning: the
+    first-layer pre-activation is k1 @ a + k1r @ log(r_up) + b1, where
+    k1r = kron(W1[logR-col], I8) turns the per-step (8, lanes) log-R tile
+    into the per-unit bias contribution in one extra MXU pass (r_up is the
+    tree-top impedance coefficient, a "time" leaf here, so it arrives
+    already sliced at the current step)."""
+    k1, k1r, c1b, kh, ch, w3, b3 = views
+    lr = jnp.log(r_up)
+    h = jnp.tanh(
+        jnp.dot(k1, a, preferred_element_type=jnp.float32)
+        + jnp.dot(k1r, lr, preferred_element_type=jnp.float32)
+        + c1b
+    )
     for l in range(kh.shape[0]):
         h = jnp.tanh(jnp.dot(kh[l], h, preferred_element_type=jnp.float32) + ch[l])
     y = jnp.dot(w3, h, preferred_element_type=jnp.float32) + b3[0, 0]
@@ -416,7 +478,17 @@ def fused_circuit_process_neural(
     adapt_controls = _merge_controls(static_controls, row_controls)
     coeffs = circuit.adapt(params, adapt_controls)
     log_r = jnp.log(coeffs[circuit.tree.name]["R"])
-    if jnp.ndim(log_r) >= 1:  # per-row R reaches the root's conditioning
+    root = _mlp_root
+    if jnp.ndim(log_r) == 2:  # per-SAMPLE R reaches the conditioning
+        layers = mlp_params["layers"]
+        H, k1, kh, ch, w3, b3 = _kron_weights_unbiased(mlp_params)
+        eye8 = jnp.eye(8, dtype=jnp.float32)
+        k1r = jnp.kron(layers[0]["kernel"][1:2, :].T, eye8)  # (H*8, 8)
+        c1b = jnp.repeat(layers[0]["bias"], 8)[:, None]  # (H*8, 1)
+        arrays = (k1, k1r, c1b, kh, ch, w3, jnp.reshape(b3, (1, 1)))
+        tiled = ()
+        root = _mlp_root_timevar
+    elif jnp.ndim(log_r) == 1:  # per-row R reaches the conditioning
         B, T = vin.shape
         lanes = lanes or auto_lanes(B, T, time_chunk)
         layers = mlp_params["layers"]
@@ -425,11 +497,12 @@ def fused_circuit_process_neural(
             jnp.broadcast_to(log_r, (B,)),
             layers[0]["kernel"][1], layers[0]["bias"], lanes,
         )  # (nb, H*8, lanes)
+        arrays = (k1, c1, kh, ch, w3, jnp.reshape(b3, (1, 1)))
         tiled = (False, True, False, False, False, False)
     else:
         _, k1, c1, kh, ch, w3, b3 = _kron_weights(mlp_params, log_r)
+        arrays = (k1, c1, kh, ch, w3, jnp.reshape(b3, (1, 1)))
         tiled = ()
-    arrays = (k1, c1, kh, ch, w3, jnp.reshape(b3, (1, 1)))
     # the MLP weights travel as VMEM blocks, not scalarized params — drop
     # the root's fragment from the scalar bundle
     tree_params = {k: v for k, v in params.items() if k != circuit.root.name}
@@ -444,7 +517,7 @@ def fused_circuit_process_neural(
         time_chunk=time_chunk,
         lanes=lanes,
         interpret=interpret,
-        root_override=_mlp_root,
+        root_override=root,
         root_arrays=arrays,
         root_tiled=tiled,
         return_state_seq=return_state_seq,

@@ -33,12 +33,12 @@ The reference's training differentiates an unrolled per-sample TF graph
   root all receive exact cotangents (the zero-cotangent restriction of the
   clipper-only engine is lifted).
 
-Impedance-affecting drives may be batch-constant (``static_controls``) or
-PER-ROW (``row_fields`` — the reference's measured-pot workload,
-``clipper_pot.py:113-124``, where every 2048-sample chunk carries its own
-source R): per-row adaptation runs batched outside the kernels and the
-resulting coefficients stream through forward and adjoint as batch tiles.
-Remaining restrictions: one scalar output probe; per-row controls must not
+Impedance-affecting drives may be batch-constant (``static_controls``),
+PER-ROW, or PER-SAMPLE (``row_fields`` — the reference's measured-pot
+workload, ``clipper_pot.py:113-124``): adaptation runs batched outside the
+kernels and the resulting coefficients stream through forward and adjoint
+as batch tiles ((B,) values) or full (B, T) per-sample streams.  Remaining
+restrictions: one scalar output probe; per-row/per-sample controls must not
 reach matrix-valued coefficients (keep pots outside R-type adaptors, as the
 Tube Screamer's drive pot is).
 """
@@ -172,25 +172,30 @@ def _fused_backward_kernel(
     assert _lanes == lanes
     T = TS8 // _SUB
     B = nb * _SUB * lanes
-    # VMEM budget: (2 + S) in + (S + 1) out time-blocked tiles, double
-    # buffered -> keep tc * lanes small enough that they all fit
     S = n_state
-    budget = 65536 // (2 * S + 3)
-    while time_chunk > 8 and (time_chunk * lanes > budget or T % time_chunk):
-        time_chunk //= 2
-    assert T % time_chunk == 0, (T, time_chunk)
-    nt = T // time_chunk
 
     adapt_controls = _merge_controls(static_controls, row_controls)
     coeffs = circuit.adapt(params, adapt_controls)
     bundle = (coeffs, params, static_controls or {})
     leaves, treedef = jax.tree_util.tree_flatten(bundle)
-    vec, specs, row_leaves = _classify_leaves(
-        leaves, batch=B if row_controls else 0
+    vec, specs, row_leaves, time_leaves = _classify_leaves(
+        leaves, batch=B if row_controls else 0, time=T if row_controls else 0
     )
     sc = jnp.stack(vec).astype(jnp.float32)[None, :]
     rows_p = tuple(_pack_state(r, lanes) for r in row_leaves)
     n_row = len(rows_p)
+    from .fused_clipper import _pack as _pack_bt
+
+    times_p = tuple(_pack_bt(t, lanes) for t in time_leaves)
+    n_time = len(times_p)
+
+    # VMEM budget: (2 + S + n_time) in + (S + 1) out time-blocked tiles,
+    # double buffered -> keep tc * lanes small enough that they all fit
+    budget = 65536 // (2 * S + 3 + n_time)
+    while time_chunk > 8 and (time_chunk * lanes > budget or T % time_chunk):
+        time_chunk //= 2
+    assert T % time_chunk == 0, (T, time_chunk)
+    nt = T // time_chunk
 
     s_treedef = jax.tree_util.tree_structure(circuit.init_state())
     root_arrays = tuple(jnp.asarray(a, jnp.float32) for a in root_arrays)
@@ -201,10 +206,12 @@ def _fused_backward_kernel(
         zp_refs = rest[:S]
         lamT_ref = rest[S]
         row_refs = rest[S + 1 : S + 1 + n_row]
-        root_refs = rest[S + 1 + n_row : S + 1 + n_row + n_root]
-        lam_refs = rest[S + 1 + n_row + n_root : 2 * S + 1 + n_row + n_root]
-        gv_ref = rest[2 * S + 1 + n_row + n_root]
-        gz0_ref = rest[2 * S + 2 + n_row + n_root]
+        time_refs = rest[S + 1 + n_row : S + 1 + n_row + n_time]
+        nrt = n_row + n_time
+        root_refs = rest[S + 1 + nrt : S + 1 + nrt + n_root]
+        lam_refs = rest[S + 1 + nrt + n_root : 2 * S + 1 + nrt + n_root]
+        gv_ref = rest[2 * S + 1 + nrt + n_root]
+        gz0_ref = rest[2 * S + 2 + nrt + n_root]
         lam_scr = rest[-1]
         j = pl.program_id(1)
 
@@ -213,37 +220,51 @@ def _fused_backward_kernel(
             lam_scr[...] = lamT_ref[0]
 
         row_views = tuple(r[0] for r in row_refs)
-        rebuilt = _rebuild_leaves(sc_ref, specs, row_views)
-        coeffs_k, params_k, static_k = jax.tree_util.tree_unflatten(
-            treedef, rebuilt
-        )
         root_views = tuple(
             r if k == "smem" else (r[0] if k == "tile" else r[...])
             for r, k in zip(root_refs, kinds)
         )
 
-        def step_fn(st_vec, v):
-            st = jax.tree_util.tree_unflatten(s_treedef, list(st_vec))
-            controls = {k: dict(vv) for k, vv in static_k.items()}
-            controls.setdefault(input_node, {})
-            controls[input_node]["v"] = v
-            waves: Dict[str, Any] = {}
-            a_root = circuit.tree.reflected(coeffs_k, st, controls, waves)
-            r_up = coeffs_k[circuit.tree.name]["R"]
-            if root_override is not None:
-                b_root = root_override(a_root, r_up, root_views)
-            else:
-                b_root = circuit.root.reflect(a_root, r_up, params_k, controls)
-            new_entries = circuit.tree.incident(
-                coeffs_k, st, controls, waves, b_root
+        def make_step_fn(tv):
+            coeffs_k, params_k, static_k = jax.tree_util.tree_unflatten(
+                treedef, _rebuild_leaves(sc_ref, specs, row_views, tv)
             )
-            new_state = {**st, **new_entries}
-            waves[circuit.root.name] = (a_root, b_root)
-            out_leaves = jax.tree_util.tree_leaves(new_state)[:S]
-            return list(out_leaves), circuit.probe(waves)
+
+            def step_fn(st_vec, v):
+                st = jax.tree_util.tree_unflatten(s_treedef, list(st_vec))
+                controls = {k: dict(vv) for k, vv in static_k.items()}
+                controls.setdefault(input_node, {})
+                controls[input_node]["v"] = v
+                waves: Dict[str, Any] = {}
+                a_root = circuit.tree.reflected(coeffs_k, st, controls, waves)
+                r_up = coeffs_k[circuit.tree.name]["R"]
+                if root_override is not None:
+                    b_root = root_override(a_root, r_up, root_views)
+                else:
+                    b_root = circuit.root.reflect(
+                        a_root, r_up, params_k, controls
+                    )
+                new_entries = circuit.tree.incident(
+                    coeffs_k, st, controls, waves, b_root
+                )
+                new_state = {**st, **new_entries}
+                waves[circuit.root.name] = (a_root, b_root)
+                out_leaves = jax.tree_util.tree_leaves(new_state)[:S]
+                return list(out_leaves), circuit.probe(waves)
+
+            return step_fn
+
+        if n_time == 0:
+            _step_invariant = make_step_fn(())
 
         def body(tr, _):
             t = time_chunk - 1 - tr  # reversed within the chunk
+            if n_time == 0:
+                step_fn = _step_invariant
+            else:
+                step_fn = make_step_fn(tuple(
+                    ref[0, pl.ds(t * _SUB, _SUB), :] for ref in time_refs
+                ))
             v = in_ref[0, pl.ds(t * _SUB, _SUB), :]
             go = go_ref[0, pl.ds(t * _SUB, _SUB), :]
             zp = [zp_refs[k][0, pl.ds(t * _SUB, _SUB), :] for k in range(S)]
@@ -321,6 +342,7 @@ def _fused_backward_kernel(
                 memory_space=pltpu.VMEM,
             ),  # lam_T
             *[_tile_spec(r.shape) for r in rows_p],
+            *[tspec() for _ in times_p],  # per-sample pot streams (reversed)
             *[_root_spec(a.shape, k) for a, k in zip(root_arrays, kinds)],
         ],
         out_specs=[
@@ -339,7 +361,7 @@ def _fused_backward_kernel(
         ],
         scratch_shapes=[pltpu.VMEM((zrows, lanes), jnp.float32)],
         interpret=interpret,
-    )(sc, vin_p, g_out_p, *z_prev_p, lam_T_p, *rows_p, *root_arrays)
+    )(sc, vin_p, g_out_p, *z_prev_p, lam_T_p, *rows_p, *times_p, *root_arrays)
 
     lam_step = list(results[:S])
     g_vin_p = results[S]
@@ -357,6 +379,29 @@ def _mlp_root_smem_rowc1(a, r_up, refs):
     H = w1a.shape[1]
     h = [
         jnp.tanh(w1a[0, j] * a + c1t[j * 8 : (j + 1) * 8, :])
+        for j in range(H)
+    ]
+    for l in range(w2f.shape[0]):
+        h = [
+            jnp.tanh(
+                sum(w2f[l, j * H + i] * h[j] for j in range(H)) + b2[l, i]
+            )
+            for i in range(H)
+        ]
+    y = sum(w3[0, j] * h[j] for j in range(H)) + b3[0, 0]
+    return -y
+
+
+def _mlp_root_smem_timevar(a, r_up, refs):
+    """NxH MLP root with PER-SAMPLE R conditioning for the adjoint kernel:
+    r_up arrives as the current step's (8, lanes) impedance tile (a "time"
+    coeff leaf), and the first layer adds w1r * log(r_up) per unit — all
+    SMEM scalar-broadcast VPU math."""
+    w1a, w1r, b1, w2f, b2, w3, b3 = refs
+    H = w1a.shape[1]
+    lr = jnp.log(r_up)
+    h = [
+        jnp.tanh(w1a[0, j] * a + w1r[0, j] * lr + b1[0, j])
         for j in range(H)
     ]
     for l in range(w2f.shape[0]):
@@ -390,15 +435,17 @@ def make_fused_circuit_train_generic(
     and ``z0_leaves``.  Semantics match ``circuit.process`` with hoisted
     adaptation.
 
-    row_fields: static tuple of (node, field) pairs naming PER-ROW impedance
-    controls — the reference's measured-pot training semantics
-    (``clipper_pot.py:113-124``: one source R per data row).  When non-empty
-    the returned fn takes a fourth argument ``row_vals`` (one (B,) array per
-    pair, data — zero cotangent); adaptation runs batched and the per-row
-    scatter coefficients stream through both the forward and adjoint kernels
-    as batch tiles.  This lifts the round-4 batch-constant-impedance
-    restriction: ANY circuit now trains the per-sample re-adaptation
-    workload at fused-adjoint speed.
+    row_fields: static tuple of (node, field) pairs naming PER-ROW or
+    PER-SAMPLE impedance controls — the reference's measured-pot training
+    semantics (``clipper_pot.py:113-124``).  When non-empty the returned fn
+    takes a fourth argument ``row_vals`` (one array per pair, data — zero
+    cotangent): a (B,) value adapts once per row ("row" coefficient tiles),
+    a (B, T) value re-adapts EVERY SAMPLE — the adapted coefficients become
+    (B, T) streams fed to both kernels alongside the drive signal, and the
+    neural root's log-R conditioning is recomputed per step from the
+    streamed tree-top impedance.  This lifts the round-4 batch-constant-
+    impedance restriction completely: ANY circuit trains the per-sample
+    re-adaptation workload at fused-adjoint speed.
 
     backward: "pallas" (default) runs the adjoint recurrence as one fused
     kernel (``_fused_backward_kernel``) and keeps every residual in the
@@ -485,7 +532,15 @@ def make_fused_circuit_train_generic(
             W3, b3 = layers[-1]["kernel"], layers[-1]["bias"]
             w2f_s = jnp.stack([l["kernel"].reshape(-1) for l in layers[1:-1]])
             b2_s = jnp.stack([l["bias"] for l in layers[1:-1]])
-            if rc:
+            if jnp.ndim(log_r) == 2:  # per-SAMPLE pot: log R from the
+                # streamed impedance tile, inside the root
+                ras = (
+                    W1[0:1, :], W1[1:2, :], b1[None, :],
+                    w2f_s, b2_s, W3[:, 0][None, :], b3.reshape(1, 1),
+                )
+                kinds = ("smem",) * 7
+                ro = _mlp_root_smem_timevar
+            elif rc:
                 c1_p = _pack_c1(
                     jnp.broadcast_to(log_r, (B,)), W1[1], b1, lanes_eff
                 )
@@ -537,7 +592,11 @@ def make_fused_circuit_train_generic(
             if rc:
                 rc_p = {
                     n: {
-                        fld: _pack_state(v, lanes_eff)[:, None]
+                        fld: (
+                            _pack(v, lanes_eff).reshape(shp)
+                            if jnp.ndim(v) == 2
+                            else _pack_state(v, lanes_eff)[:, None]
+                        )
                         for fld, v in d.items()
                     }
                     for n, d in rc.items()
@@ -574,9 +633,16 @@ def make_fused_circuit_train_generic(
         lam_T = [jnp.asarray(g) for g in g_zf]  # S x (B,)
 
         # per-row controls enter the XLA path as (B, 1) so the adapted
-        # coefficients broadcast against the (B, T) trajectory arrays
+        # coefficients broadcast against the (B, T) trajectory arrays;
+        # per-SAMPLE (B, T) streams already line up
         rc1 = {
-            n: {fld: jnp.asarray(v)[:, None] for fld, v in d.items()}
+            n: {
+                fld: (
+                    jnp.asarray(v)
+                    if jnp.ndim(v) == 2 else jnp.asarray(v)[:, None]
+                )
+                for fld, v in d.items()
+            }
             for n, d in _rc(row_vals).items()
         }
         coeffs = circuit.adapt(params, _merge_controls(static_controls, rc1))

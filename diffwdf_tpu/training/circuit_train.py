@@ -94,7 +94,7 @@ def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunk
 
 
 def clipper_forward(circuit: Circuit, params, batches, checkpoint=False,
-                    unroll=1):
+                    unroll=1, pot_node: str = "Vs"):
     """Run the training clipper over a [n_seq, T] batch of (v[, R]) drives.
 
     State resets at chunk boundaries (reference behavior: ``Vs.reset();
@@ -103,7 +103,8 @@ def clipper_forward(circuit: Circuit, params, batches, checkpoint=False,
     re-adapts inside the scan (the reference pot, ``clipper_pot.py:114-117``);
     without one (e.g. the fixed-R HPF topology) adaptation happens once.
     The drive node is auto-detected ("Vin" for the Tube Screamer, else
-    "Vs"); the r/r0 streams always target the clipper's "Vs" source.
+    "Vs"); the r/r0 streams target ``pot_node`` (default the clipper's
+    "Vs" source; "R6" for a Tube Screamer drive-pot sweep).
     Returns outputs [n_seq, T].
     """
     state0 = circuit.init_state()
@@ -115,9 +116,9 @@ def clipper_forward(circuit: Circuit, params, batches, checkpoint=False,
         inputs = {node: {"v": v}}
         static = None
         if drive_r:
-            inputs["Vs"] = {**inputs.get("Vs", {}), "R": r}
+            inputs[pot_node] = {**inputs.get(pot_node, {}), "R": r}
         elif hoisted_r:
-            static = {"Vs": {"R": r}}
+            static = {pot_node: {"R": r}}
         out, _ = circuit.process(
             params, state0, inputs, static_controls=static,
             adapt_per_sample=drive_r, checkpoint=checkpoint, unroll=unroll,
@@ -207,21 +208,19 @@ def _make_fused_generic_forward(circuit: Circuit, cfg: CircuitTrainConfig):
     tile = 1024
 
     def forward(params, batches):
-        assert "r" not in batches, (
-            "fused_generic takes hoisted per-row pot data ('r0'); a "
-            "genuinely per-SAMPLE r stream inside one chunk stays on "
-            "engine='scan' (reference data is piecewise-constant per "
-            "file, dataimport.py:109 — make_clipper_batches hoists it)"
-        )
         v = batches["x"]
         B = v.shape[0]
         pad = (-B) % tile
-        r0 = batches.get("r0")
+        # pot data: hoisted per-row "r0" (B,) or genuinely per-SAMPLE
+        # "r" (B, T) — both stream through the kernels (round 5; the
+        # engine='scan' restriction is gone)
+        r0 = batches.get("r", batches.get("r0"))
         if pad:
             v = jnp.concatenate([v, jnp.zeros((pad, v.shape[1]), v.dtype)])
             if r0 is not None:
+                pad_shape = (pad,) + tuple(r0.shape[1:])
                 r0 = jnp.concatenate(
-                    [r0, jnp.full((pad,), default_r, r0.dtype)]
+                    [r0, jnp.full(pad_shape, default_r, r0.dtype)]
                 )
         z0 = [
             jnp.broadcast_to(
@@ -245,7 +244,8 @@ def make_forward_fn(circuit: Circuit, cfg: CircuitTrainConfig):
     if cfg.engine == "fused_generic":
         return _make_fused_generic_forward(circuit, cfg)
     return lambda params, batches: clipper_forward(
-        circuit, params, batches, cfg.checkpoint_scan, cfg.unroll
+        circuit, params, batches, cfg.checkpoint_scan, cfg.unroll,
+        pot_node=cfg.pot_node or "Vs",
     )
 
 

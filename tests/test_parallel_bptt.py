@@ -303,6 +303,76 @@ def test_row_pot_pallas_matches_xla_backward():
             assert float(jnp.max(jnp.abs(a - b))) / denom < 3e-4, ckt
 
 
+def test_per_sample_pot_gradcheck_vs_scan():
+    """PER-SAMPLE pot streams (round 5): a genuinely time-varying R — the
+    un-hoistable case the reference runs by re-adapting inside its sample
+    loop (``clipper_pot.py:113-124``) — streams (B, T) coefficients through
+    the fused forward AND adjoint.  Checked on the training clipper with a
+    random-walk source R (analytic root, in-scan re-adaptation oracle) and
+    on the TS with a per-sample drive pot + NEURAL root (the streamed
+    log-R conditioning path)."""
+    from diffwdf_tpu.models.diode_clipper import make_training_clipper
+    from diffwdf_tpu.models.tube_screamer import drive_to_r6
+
+    rng = np.random.default_rng(19)
+    vin = jnp.asarray((1.0 * rng.standard_normal((B, T))).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
+
+    cases = []
+    aroot = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    clip = make_training_clipper(aroot, FS)
+    r_walk = np.exp(
+        np.log(45e3)
+        + np.cumsum(0.02 * rng.standard_normal((B, T)), axis=1)
+    ).astype(np.float32)
+    cases.append((clip, "Vs", ("Vs", "R"), jnp.asarray(r_walk),
+                  {**clip.init_params(), **aroot.init_params()}, 1))
+    nroot = NeuralDiodeRoot(name="dp", n_layers=2, layer_size=8)
+    ts = make_tube_screamer(nroot, FS)
+    r6_walk = drive_to_r6(
+        np.clip(0.5 + np.cumsum(0.01 * rng.standard_normal((B, T)), axis=1),
+                0.0, 1.0)
+    ).astype(np.float32)
+    cases.append((ts, "Vin", ("R6", "R"), jnp.asarray(r6_walk),
+                  {**ts.init_params(), **nroot.init_params()}, 3))
+
+    for ckt, node, rf, r_bt, params, S in cases:
+        state0 = ckt.init_state()
+        pot_node, pot_field = rf
+
+        def scan_run(p, v, r):
+            def one(vv, rr):
+                inputs = {node: {"v": vv}}
+                inputs.setdefault(pot_node, {})
+                inputs[pot_node][pot_field] = rr
+                o, _ = ckt.process(p, state0, inputs, adapt_per_sample=True)
+                return o
+
+            return jax.vmap(one)(v, r)
+
+        f = make_fused_circuit_train_generic(
+            ckt, input_node=node, interpret=True, row_fields=(rf,))
+        z0 = [jnp.zeros((B,), jnp.float32) for _ in range(S)]
+
+        out, _ = f(params, vin, z0, (r_bt,))
+        ref = scan_run(params, vin, r_bt)
+        assert float(jnp.max(jnp.abs(out - ref))) < 5e-5, ckt
+
+        def loss_fused(p):
+            o, _ = f(p, vin, z0, (r_bt,))
+            return jnp.mean((o - y) ** 2)
+
+        def loss_scan(p):
+            return jnp.mean((scan_run(p, vin, r_bt) - y) ** 2)
+
+        g1 = jax.grad(loss_fused)(params)
+        g2 = jax.grad(loss_scan)(params)
+        errs = _rel_errs(g1, g2)
+        for leaf in jax.tree_util.tree_leaves(errs):
+            assert leaf < 1e-3, (ckt, errs)
+        assert errs["dp"][next(iter(errs["dp"]))] is not None  # tree sanity
+
+
 def test_train_step_fused_generic_accepts_r0_batches():
     """engine='fused_generic' + hoisted per-row 'r0' batches — the exact
     measured-data workload the round-4 engine rejected — trains the HPF's
