@@ -615,6 +615,43 @@ def main():
         "speedup_vs_scan": gen_r_sps / scan_r_sps,
     }
 
+    _p("fused training, PER-SAMPLE pot (round-5)")
+    # the un-hoistable case: R genuinely time-varying inside a chunk — the
+    # reference re-adapts inside its sample loop (clipper_pot.py:113-124);
+    # the scan engine's per-sample-pot row above is its honest analogue.
+    # The fused engine now streams the (B, T) adapted coefficients + the
+    # per-step log-R conditioning through both kernels.
+    r_walk = jnp.asarray(
+        np.exp(
+            np.log(45e3)
+            + np.cumsum(
+                0.003 * np.random.default_rng(5).standard_normal(
+                    (n_seq_f, T_tr)
+                ),
+                axis=1,
+            )
+        ).astype(np.float32)
+    )
+    tbf_ps = {"x": tbf["x"], "y": tbf["y"], "r": r_walk}
+    _, step_f_ps, _ = make_train_step(
+        tr_ckt, CircuitTrainConfig(engine="fused_generic")
+    )
+    dt_f_ps = _timeit(
+        lambda b: step_f_ps(tr_params, _opt_state, b)[2]["loss"],
+        [tbf_ps], n=10, label="training_step_fused_per_sample_pot",
+    )
+    f_ps_sps = n_seq_f * T_tr / dt_f_ps
+    scan_ps_sps = n_seq * T_tr / dt_train_ps  # the scan per-sample-pot row
+    details["training_step_fused_per_sample_pot"] = {
+        "n_seq": n_seq_f,
+        "T": T_tr,
+        "pot": "Vs.R per sample (random-walk, 45k center)",
+        "ms": dt_f_ps * 1e3,
+        "samples_per_s": f_ps_sps,
+        "scan_samples_per_s": scan_ps_sps,
+        "speedup_vs_scan": f_ps_sps / scan_ps_sps,
+    }
+
     _p("single-stream parallel-in-time")
     # --- single-stream latency regime: sequential scan vs parallel-in-time
     from diffwdf_tpu.ops.parallel_time import parallel_time_process
@@ -957,16 +994,26 @@ def main():
         # kernel entries use, so the real-time claim stands on the actual
         # serving function without the tunnel round trip the host-API
         # steady_block_ms above pays per block
-        fn_dev = warm._block_fn("toms", len(x_serve))
-        _, params_dev = warm.circuits["toms"]
-        st_dev = warm._state[warm._state_key.get("toms", "toms")]
-        dc_dev = warm._dc_state
         g1 = jnp.float32(1.0)
-        dev_block = _timeit(
-            lambda v: fn_dev(params_dev, st_dev, dc_dev, v, g1, g1, {})[0],
-            [jnp.asarray(x) for x in xs_blk], n=200,
-            label="serving_device_block",
-        )
+
+        def _dev_block_time(proc, label):
+            fn_dev = proc._block_fn("toms", len(x_serve))
+            _, params_dev = proc.circuits["toms"]
+            st_dev = proc._state[proc._state_key.get("toms", "toms")]
+            dc_dev = proc._dc_state
+            return _timeit(
+                lambda v: fn_dev(params_dev, st_dev, dc_dev, v, g1, g1, {})[0],
+                [jnp.asarray(x) for x in xs_blk], n=200, label=label,
+            )
+
+        dev_block = _dev_block_time(warm, "serving_device_block")
+        # the latency serving engine (cli process --engine deer): circuit
+        # solve fused into one kernel; with the parallel DC blocker the
+        # whole block fn is log-depth
+        deer_proc = make_clipper_processor(fs, models=("toms",), engine="deer")
+        deer_proc.warmup([len(x_serve)])
+        dev_block_deer = _dev_block_time(
+            deer_proc, "serving_device_block_deer")
         block_audio_ms = len(x_serve) / fs * 1e3
         details["serving_warmup"] = {
             "block": len(x_serve),
@@ -976,8 +1023,10 @@ def main():
             "warmed_first_block_ms": warm_first_ms,
             "steady_block_ms": steady_ms,
             "device_block_ms": dev_block * 1e3,
+            "device_block_deer_ms": dev_block_deer * 1e3,
             "block_audio_ms": block_audio_ms,
             "rt_factor_device": block_audio_ms / (dev_block * 1e3),
+            "rt_factor_device_deer": block_audio_ms / (dev_block_deer * 1e3),
             "note": "per-block times include one tunnel round trip (the "
                     "block API fetches its output); the contract is "
                     "warmed_first ~ steady << cold_first.  device_block_ms "

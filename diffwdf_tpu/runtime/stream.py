@@ -360,13 +360,23 @@ class StreamingProcessor:
                     )
                     residual = jnp.float32(0.0)
 
-                def dc_step(carry, x):
-                    x1, y1 = carry
-                    y = x - x1 + rho * y1
-                    return (x, y), y
+                # first-order DC blocker y[t] = x[t] - x[t-1] + rho y[t-1]
+                # as a PARALLEL (associative) scan: the linear recurrence
+                # y = rho * y_prev + d composes in O(log T) depth instead
+                # of a T-step sequential scan — the sequential form
+                # dominated the deer-engine device block time (the circuit
+                # solve itself is one fused kernel)
+                x1, y1 = dc_state
+                d = out - jnp.concatenate([x1[None], out[:-1]])
+                coef = jnp.full_like(out, rho)
 
-                dc_state, out = jax.lax.scan(dc_step, dc_state, out)
-                return out, state, dc_state, residual
+                def dc_combine(a, b):
+                    return (a[0] * b[0], b[0] * a[1] + b[1])
+
+                A, Y = jax.lax.associative_scan(dc_combine, (coef, d))
+                out_dc = A * y1 + Y
+                dc_state = (out[-1], out_dc[-1])
+                return out_dc, state, dc_state, residual
 
             self._fns[key] = fn
         return self._fns[key]
