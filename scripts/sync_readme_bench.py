@@ -125,10 +125,33 @@ def main(check: bool = False):
             f"{tft['n_seq']}×{tft['T']})",
             f"~{sig2(pin('ts_train_msps', tft['samples_per_s'] / 1e6))} Msamples/s "
             f"({sig2(pin('ts_train_speedup', tft['speedup_vs_scan']))}× vs scan BPTT)", "—"))
-    # serving_warmup is deliberately NOT a table row: its per-block numbers
-    # are tunnel-RTT-bound and would flap the drift guard; the contract
-    # (warmed first block ~ steady << cold) is documented in the serving
-    # section with the artifact key.
+    rp = d.get("training_step_fused_ts_rowpot")
+    if rp:
+        rows.append((
+            f"TS training step, per-row drive pot "
+            f"({rp['n_seq']}×{rp['T']})",
+            f"~{sig2(pin('ts_rowpot_msps', rp['samples_per_s'] / 1e6))} "
+            f"Msamples/s ({sig2(pin('ts_rowpot_speedup', rp['speedup_vs_scan']))}× vs scan BPTT)",
+            "—"))
+    ps = d.get("training_step_fused_per_sample_pot")
+    if ps:
+        rows.append((
+            f"Clipper training step, PER-SAMPLE pot "
+            f"({ps['n_seq']}×{ps['T']})",
+            f"~{sig2(pin('ps_pot_msps', ps['samples_per_s'] / 1e6))} "
+            f"Msamples/s ({sig2(pin('ps_pot_speedup', ps['speedup_vs_scan']))}× vs scan BPTT)",
+            "—"))
+    # serving host-API per-block numbers are tunnel-RTT-bound and stay out
+    # of the table (the warmup contract lives in the serving section); the
+    # DEVICE-side real-time factor is RTT-corrected/pipelined and is the
+    # serving claim (round-5 VERDICT #4)
+    sw = d.get("serving_warmup", {})
+    if "rt_factor_device_deer" in sw:
+        rows.append((
+            "Serving block 2048 @ 96 kHz, device-side "
+            "(deer engine, parallel DC blocker)",
+            f"{sig2(pin('rt_deer', sw['rt_factor_device_deer']))}× real time",
+            "—"))
     if "clipper_msamples_per_s" in cg:
         rows.append((
             "Generated-C CPU engines (single core)",
