@@ -41,7 +41,7 @@ def make_dp_train_step(
     traces the kernel at its LOCAL batch and the gradient psum is explicit.
     ``engine="fused"/"fused_generic"`` therefore routes through a
     shard_map step whose loss reassembles the exact global MSE+ESR from
-    psum-reduced sums (see ``make_loss_fn(axis=...)``); math is identical
+    psum-reduced sums; math is identical
     to the single-device step up to f32 reduction order.
     """
     if cfg.engine in ("fused", "fused_generic"):

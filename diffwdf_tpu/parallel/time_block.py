@@ -131,10 +131,11 @@ def make_time_block_train_step(
     *,
     warmup: int = 256,
     axis: str = "time",
+    batch_axis: str = "data",
     input_node: str = "",
     trainable_filter=None,
 ):
-    """Overlap-save BPTT: train on ONE long sequence with its chunks
+    """Overlap-save BPTT: train on long sequences with their chunks
     sharded over the mesh ``axis`` (SURVEY §2.4 config 5's training side —
     round-4 left this axis inference-only).
 
@@ -152,7 +153,12 @@ def make_time_block_train_step(
 
     Returns (opt, train_step, eval_step) with
     ``train_step(params, opt_state, x, y) -> (params, opt_state, metrics)``
-    on [T] arrays sharded P(axis) (T divisible by the axis size).
+    on [T] arrays sharded P(axis) (T divisible by the axis size) — or, for
+    2-axis DP x time training, [n_seq, T] arrays sharded
+    P(batch_axis, axis): rows shard over the data axis, each row's chunks
+    over the time axis, one step over the whole (data, time) mesh (the
+    grad's implicit psum under check_vma=True covers both axes, and the
+    loss sums psum over both).
     """
     import optax
 
@@ -167,83 +173,121 @@ def make_time_block_train_step(
     state0 = circuit.init_state()
     eps = jnp.float32(jnp.finfo(jnp.float32).eps)
 
-    def local_sums(params, x, y):
+    def local_sums(params, x, y, axes=(None,)):
         """Local masked sums.  All collectives stay OUTSIDE this function:
         an in-graph psum's AD transpose re-psums the replicated cotangent
         — a D-times double count (measured exactly 8x on the 8-device
         mesh).  The global loss is assembled from these sums after
         differentiation and the exact chain-rule factor applied (see
-        data_parallel._make_dp_train_step_shard_map, same scheme)."""
+        data_parallel._make_dp_train_step_shard_map, same scheme).
+
+        x, y: local [T_loc] (time-sharded only) or [n_loc, T_loc] (rows
+        additionally sharded over the data axis; the overlap handoff runs
+        per row along the time axis)."""
         st0 = jax.tree_util.tree_map(
-            lambda s: jax.lax.pcast(s, (axis,), to="varying"), state0
+            lambda s: jax.lax.pcast(s, axes, to="varying"), state0
         )
         prev = jax.lax.ppermute(
-            x[-warmup:], axis, [(i, (i + 1) % D) for i in range(D)]
+            x[..., -warmup:], axis, [(i, (i + 1) % D) for i in range(D)]
         )
         idx = jax.lax.axis_index(axis)
         gate = jnp.where(idx == 0, 0.0, 1.0)  # cold-start silence on dev 0
-        ext = jnp.concatenate([gate * prev, x])
-        out, _ = circuit.process(
-            params, st0, {node: {"v": ext}},
-            checkpoint=getattr(cfg, "checkpoint_scan", False),
-            unroll=getattr(cfg, "unroll", 1),
-        )
-        o = out[warmup:]
+        ext = jnp.concatenate([gate * prev, x], axis=-1)
+
+        def run_one(e1):
+            out, _ = circuit.process(
+                params, st0, {node: {"v": e1}},
+                checkpoint=getattr(cfg, "checkpoint_scan", False),
+                unroll=getattr(cfg, "unroll", 1),
+            )
+            return out
+
+        out = (run_one(ext) if x.ndim == 1 else jax.vmap(run_one)(ext))
+        o = out[..., warmup:]
         t = y
         if getattr(cfg, "use_pre_emphasis", False):
-            o, t = pre_emphasis(o, axis=0), pre_emphasis(t, axis=0)
-        keep = jnp.arange(x.shape[0]) >= jnp.where(
+            o = pre_emphasis(o, axis=o.ndim - 1)
+            t = pre_emphasis(t, axis=t.ndim - 1)
+        keep = jnp.arange(x.shape[-1]) >= jnp.where(
             idx == 0, cfg.skip_samples, 0
         )
         mask = keep.astype(jnp.float32)
         se = jnp.sum(mask * jnp.square(o - t))
         te = jnp.sum(mask * jnp.square(t))
-        n = jnp.sum(mask)
+        n = jnp.sum(mask) * (1 if x.ndim == 1 else x.shape[0])
+        # n varies only over the time axis (the mask reads
+        # axis_index(time)); in the 2-axis case the count must still SUM
+        # over the data axis (each data shard holds its own rows), so mark
+        # it varying there for the typed psum
+        missing = tuple(a for a in axes if a not in (axis, None))
+        if missing:
+            n = jax.lax.pcast(n, missing, to="varying")
         return se, (te, n)
 
-    def _assemble(se_l, te_l, n_l):
-        se = jax.lax.psum(se_l, axis)
-        te = jax.lax.psum(te_l, axis)
-        n = jax.lax.psum(n_l, axis)
+    def _assemble(se_l, te_l, n_l, axes):
+        se = jax.lax.psum(se_l, axes)
+        te = jax.lax.psum(te_l, axes)
+        n = jax.lax.psum(n_l, axes)
         m = se / n
         e = jnp.sqrt(se / (te + eps) / n)
         return se, n, m, e
 
-    def loss_local(params, x, y):
-        se_l, (te_l, n_l) = local_sums(params, x, y)
-        _, _, m, e = _assemble(se_l, te_l, n_l)
-        return m + e, {"mse": m, "esr": e}
+    def _make_locals(axes):
+        def loss_local(params, x, y):
+            se_l, (te_l, n_l) = local_sums(params, x, y, axes)
+            _, _, m, e = _assemble(se_l, te_l, n_l, axes)
+            return m + e, {"mse": m, "esr": e}
 
-    def grads_local(params, x, y):
-        (se_l, (te_l, n_l)), g = jax.value_and_grad(
-            local_sums, has_aux=True
-        )(params, x, y)
-        se, n, m, e = _assemble(se_l, te_l, n_l)
-        # NO explicit psum on g: under check_vma=True (this shard_map),
-        # grad wrt a replicated (P()) input already carries the implicit
-        # psum — the transpose of the invariant->varying broadcast — so g
-        # here IS d(global se)/d(params).  (Verified against both a
-        # minimal repro and the full-length scan oracle; contrast
-        # data_parallel's check_vma=False path, where the grad is local
-        # and the psum is explicit.)
-        coef = 1.0 / n + e / (2.0 * jnp.maximum(se, eps))
-        g = jax.tree_util.tree_map(lambda gg: coef * gg, g)
-        if trainable_filter is not None:
-            g = trainable_filter(g)
-        return m + e, {"mse": m, "esr": e}, g
+        def grads_local(params, x, y):
+            (se_l, (te_l, n_l)), g = jax.value_and_grad(
+                lambda p, xx, yy: local_sums(p, xx, yy, axes), has_aux=True
+            )(params, x, y)
+            se, n, m, e = _assemble(se_l, te_l, n_l, axes)
+            # NO explicit psum on g: under check_vma=True (this
+            # shard_map), grad wrt a replicated (P()) input already
+            # carries the implicit psum over every axis the loss varies on
+            # — the transpose of the invariant->varying broadcast — so g
+            # here IS d(global se)/d(params).  (Verified against both a
+            # minimal repro and the full-length scan oracle; contrast
+            # data_parallel's check_vma=False path, where the grad is
+            # local and the psum is explicit.)
+            coef = 1.0 / n + e / (2.0 * jnp.maximum(se, eps))
+            g = jax.tree_util.tree_map(lambda gg: coef * gg, g)
+            if trainable_filter is not None:
+                g = trainable_filter(g)
+            return m + e, {"mse": m, "esr": e}, g
 
-    sm_grads = shard_map(
-        grads_local, mesh, in_specs=(P(), P(axis), P(axis)),
-        out_specs=(P(), P(), P()),
-    )
-    sm_loss = shard_map(
-        loss_local, mesh, in_specs=(P(), P(axis), P(axis)),
-        out_specs=(P(), P()),
-    )
+        return loss_local, grads_local
+
+    two_axis = batch_axis in mesh.shape and mesh.shape.get(batch_axis, 1) >= 1
+    loss_1d, grads_1d = _make_locals((axis,))
+    sm_grads = {
+        1: shard_map(
+            grads_1d, mesh, in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(), P(), P()),
+        )
+    }
+    sm_loss = {
+        1: shard_map(
+            loss_1d, mesh, in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(), P()),
+        )
+    }
+    if two_axis:
+        loss_2d, grads_2d = _make_locals((batch_axis, axis))
+        spec2 = P(batch_axis, axis)
+        sm_grads[2] = shard_map(
+            grads_2d, mesh, in_specs=(P(), spec2, spec2),
+            out_specs=(P(), P(), P()),
+        )
+        sm_loss[2] = shard_map(
+            loss_2d, mesh, in_specs=(P(), spec2, spec2),
+            out_specs=(P(), P()),
+        )
 
     @jax.jit
     def _train_jit(params, opt_state, x, y):
-        loss, aux, g = sm_grads(params, x, y)
+        loss, aux, g = sm_grads[x.ndim](params, x, y)
         updates, opt_state = opt.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, **aux}
@@ -252,11 +296,13 @@ def make_time_block_train_step(
         return _train_jit(params, opt_state, x, y)
 
     # for the gradient-vs-long-scan validation tests
-    train_step.grads_fn = jax.jit(sm_grads)
+    train_step.grads_fn = jax.jit(
+        lambda params, x, y: sm_grads[x.ndim](params, x, y)
+    )
 
     @jax.jit
     def eval_step(params, x, y):
-        loss, aux = sm_loss(params, x, y)
+        loss, aux = sm_loss[x.ndim](params, x, y)
         return {"loss": loss, **aux}
 
     return opt, train_step, eval_step

@@ -285,6 +285,57 @@ def test_time_block_training_matches_long_scan(devices8):
     assert float(m["loss"]) < float(m0["loss"])
 
 
+def test_time_block_training_2axis_dp_x_time(devices8):
+    """2-axis composition: [n_seq, T] sequences with rows sharded over the
+    DATA axis and each row's chunks overlap-save-sharded over the TIME
+    axis — one training step over a (4, 2) mesh.  The psummed gradient
+    matches the single-device all-rows full-length BPTT gradient within
+    the overlap budget."""
+    from diffwdf_tpu.models.diode_clipper import make_training_clipper
+    from diffwdf_tpu.parallel.time_block import make_time_block_train_step
+    from diffwdf_tpu.training.circuit_train import CircuitTrainConfig
+
+    root = NeuralDiodeRoot(name="dp", n_layers=1, layer_size=4)
+    ckt = make_training_clipper(root, FS)
+    params = {**ckt.init_params(), **root.init_params(jax.random.PRNGKey(3))}
+    n_seq, T = 4, 2 * 1024
+    rng = np.random.default_rng(41)
+    x = jnp.asarray((0.8 * rng.standard_normal((n_seq, T))).astype(np.float32))
+    y = jnp.tanh(0.8 * x)
+    fc = 1.0 / (2 * np.pi * 45e3 * 4.7e-9)
+    W = warmup_for_tolerance(fc, FS, 1e-6)
+
+    mesh = make_mesh((4, 2), ("data", "time"))
+    cfg = CircuitTrainConfig(learning_rate=1e-3, skip_samples=50)
+    opt, step, eval_step = make_time_block_train_step(
+        ckt, cfg, mesh, warmup=W
+    )
+
+    eps = np.float32(np.finfo(np.float32).eps)
+    state0 = ckt.init_state()
+
+    def oracle_loss(p):
+        def one(v):
+            out, _ = ckt.process(p, state0, {"Vs": {"v": v}})
+            return out
+
+        o = jax.vmap(one)(x)[:, cfg.skip_samples:]
+        t = y[:, cfg.skip_samples:]
+        se = jnp.sum(jnp.square(o - t))
+        te = jnp.sum(jnp.square(t))
+        n = jnp.asarray(t.size, jnp.float32)
+        return se / n + jnp.sqrt(se / (te + eps) / n)
+
+    l_ref, g_ref = jax.value_and_grad(oracle_loss)(params)
+    l_tb, _, g_tb = step.grads_fn(params, x, y)
+    np.testing.assert_allclose(float(l_tb), float(l_ref), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_tb), jax.tree_util.tree_leaves(g_ref)
+    ):
+        denom = float(jnp.max(jnp.abs(b))) + 1e-12
+        assert float(jnp.max(jnp.abs(a - b))) / denom < 1e-3
+
+
 def test_sweep_1024_instances(devices8):
     """BASELINE config 4: vmap sweep over circuit instances, sharded."""
     ckt, params = _clipper()
