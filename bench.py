@@ -186,7 +186,7 @@ def _timeit(fn, args_list, n=100, reps=_MIN_REPS, label=None):
 
 
 
-def _timeit_kernel(fn, args_list, K, n=30, label=None):
+def _timeit_kernel(fn, args_list, K, n=30, label=None, pin=None):
     """Device-kernel time for SUB-MILLISECOND kernels: run ``fn`` K times
     CHAINED inside one dispatch (each iterate feeds the next through a
     bounded tanh, so the chain cannot be dead-code-eliminated or diverge and
@@ -197,13 +197,24 @@ def _timeit_kernel(fn, args_list, K, n=30, label=None):
     measured 50 % swings in best/p25 across refreshes while >10 ms entries
     held to 0.1 %.  Chaining amortizes the overhead to <1/K and leaves the
     stationary device time.  ``fn`` must map an array to a same-shaped
-    array."""
+    array.
+
+    pin: for DATA-DEPENDENT kernels (e.g. the residual-adaptive DEER
+    solve, whose sweep count depends on the input), pass the original
+    input: each iterate then runs on ``pin`` plus a 1e-30-scaled function
+    of the previous iterate — numerically identical input (the
+    perturbation rounds away against O(1) samples) but a true data
+    dependence, so the chain can be neither reordered nor folded and the
+    measured cost reflects the real input's sweep count rather than the
+    tamer tanh-compressed chain signal."""
     import jax
     import jax.numpy as jnp
 
-    chained = jax.jit(
-        lambda v: jax.lax.fori_loop(0, K, lambda i, x: jnp.tanh(fn(x)), v)
-    )
+    if pin is None:
+        body = lambda i, x: jnp.tanh(fn(x))
+    else:
+        body = lambda i, x: pin + 1e-30 * jnp.tanh(fn(x))
+    chained = jax.jit(lambda v: jax.lax.fori_loop(0, K, body, v))
     dt = _timeit(chained, args_list, n=n, label=label) / K
     if label is not None and label in _STATS:
         s = _STATS[label]
@@ -213,7 +224,12 @@ def _timeit_kernel(fn, args_list, K, n=30, label=None):
             elif key in s:
                 s[key] = round(s[key] / K, 6)
         s["chained"] = K
-        s["timing"] = "device-kernel (chained; excludes per-dispatch overhead)"
+        s["timing"] = (
+            "device-kernel (chained; excludes per-dispatch overhead)"
+            if pin is None
+            else "device-kernel (input-pinned chain; excludes per-dispatch "
+                 "overhead)"
+        )
     return dt
 
 
@@ -230,36 +246,8 @@ _CHAINED_NOTE = (
 
 
 def _timeit_kernel_pinned(fn, x_pin, K, n=30, label=None):
-    """Chained device-kernel time for a DATA-DEPENDENT kernel (e.g. the
-    residual-adaptive DEER solve, whose sweep count depends on the input):
-    each chained iterate re-runs on the ORIGINAL input plus a 1e-30-scaled
-    function of the previous iterate — numerically identical input (the
-    perturbation rounds away against O(1) samples) but a true data
-    dependence, so the chain can be neither reordered nor folded, and the
-    measured per-iteration cost reflects the real input's sweep count
-    rather than the tamer tanh-compressed signal ``_timeit_kernel`` feeds."""
-    import jax
-    import jax.numpy as jnp
-
-    chained = jax.jit(
-        lambda v: jax.lax.fori_loop(
-            0, K, lambda i, x: x_pin + 1e-30 * jnp.tanh(fn(x)), v
-        )
-    )
-    dt = _timeit(chained, [x_pin], n=n, label=label) / K
-    if label is not None and label in _STATS:
-        s = _STATS[label]
-        for key in ("reps_ms", "best_ms", "p25_ms", "median_ms", "iqr_ms"):
-            if isinstance(s.get(key), list):
-                s[key] = [round(v / K, 6) for v in s[key]]
-            elif key in s:
-                s[key] = round(s[key] / K, 6)
-        s["chained"] = K
-        s["timing"] = (
-            "device-kernel (input-pinned chain; excludes per-dispatch "
-            "overhead)"
-        )
-    return dt
+    """Input-pinned chained timing (see ``_timeit_kernel``'s ``pin``)."""
+    return _timeit_kernel(fn, [x_pin], K, n=n, label=label, pin=x_pin)
 
 
 def _timeit_kernel_both(fn, args_list, K, n=30, label=None):

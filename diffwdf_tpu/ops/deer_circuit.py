@@ -322,7 +322,11 @@ def fused_deer_circuit(
         # early-exits on the max state update (granularity sweep_unroll).
         track = adapt_tol > 0.0
         tol = jnp.float32(adapt_tol if track else -1.0)
-        u = max(1, min(sweep_unroll or min(sweeps, 4), sweeps))
+        # u must DIVIDE sweeps: it advances by u per trip, so a non-divisor
+        # would overrun the budget (sweeps=10, u=4 -> 12 sweeps run)
+        u = max(1, min(sweep_unroll or min(sweeps, 4), max(sweeps, 1)))
+        while sweeps % u:
+            u -= 1
 
         def _cond(c):
             it, delta = c

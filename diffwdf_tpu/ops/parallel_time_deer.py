@@ -203,7 +203,7 @@ def _deer_kernel(const_ref, in_ref, out_ref, zf_ref, res_ref,
     # solver; see deer_circuit's sweep loop), which dominates single-block
     # serving latency; u=4 keeps the device-kernel time within ~10% of
     # fully unrolled
-    u = min(sweeps, 4)
+    u = max(min(sweeps, 4), 1)
     trips, rem = divmod(sweeps, u)
 
     def _trip(i, c):

@@ -88,7 +88,7 @@ def _make_dp_train_step_shard_map(
     import numpy as np
 
     from ..training.circuit_train import make_forward_fn
-    from ..training.losses import pre_emphasis
+    from ..training.losses import dloss_dse, global_loss_from_sums, pre_emphasis
 
     opt = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=0.999)
     forward = make_forward_fn(circuit, cfg)
@@ -112,8 +112,7 @@ def _make_dp_train_step_shard_map(
         se = jax.lax.psum(se_l, axis)
         te = jax.lax.psum(te_l, axis)
         n = jax.lax.psum(n_l, axis)
-        m = se / n
-        e = jnp.sqrt(se / (te + eps) / n)
+        m, e = global_loss_from_sums(se, te, n)
         return se, n, m, e
 
     def grads_local(params, batches):
@@ -122,7 +121,7 @@ def _make_dp_train_step_shard_map(
         )(params, batches)
         se, n, m, e = _assemble(se_l, te_l, n_l)
         g = jax.lax.psum(g, axis)
-        coef = 1.0 / n + e / (2.0 * jnp.maximum(se, eps))
+        coef = dloss_dse(se, e, n)
         g = jax.tree_util.tree_map(lambda x: coef * x, g)
         if trainable_filter is not None:
             g = trainable_filter(g)

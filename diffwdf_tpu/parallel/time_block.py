@@ -144,7 +144,12 @@ def make_time_block_train_step(
     warm-up outputs are EXCLUDED from the loss — the reference's own
     skip-50 practice (``clipper_pot.py:232``) generalized by
     :func:`warmup_for_tolerance`; device 0 skips ``cfg.skip_samples``
-    exactly like the single-device loss.  The global MSE+ESR is assembled
+    exactly like the single-device loss.  With ``use_pre_emphasis`` the
+    one-zero filter runs CONTINUOUSLY across shard boundaries (boundary
+    samples are emphasized against the true neighbor sample); note the
+    single-device ``make_loss_fn`` emphasizes the already-sliced chunk
+    instead, so the two differ at exactly the one sample a restart would
+    touch — the continuous form is the faithful filter semantics.  The global MSE+ESR is assembled
     from psum-reduced sums (the ESR energy normalization doesn't decompose
     per shard) and the parameter gradient is psummed, so the step's
     gradient equals the full-length single-scan BPTT gradient up to the
@@ -162,8 +167,7 @@ def make_time_block_train_step(
     """
     import optax
 
-    from ..training.circuit_train import CircuitTrainConfig  # noqa: F401
-    from ..training.losses import pre_emphasis
+    from ..training.losses import dloss_dse, global_loss_from_sums, pre_emphasis
 
     opt = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=0.999)
     node = input_node or (
@@ -203,11 +207,24 @@ def make_time_block_train_step(
             return out
 
         out = (run_one(ext) if x.ndim == 1 else jax.vmap(run_one)(ext))
-        o = out[..., warmup:]
-        t = y
         if getattr(cfg, "use_pre_emphasis", False):
-            o = pre_emphasis(o, axis=o.ndim - 1)
-            t = pre_emphasis(t, axis=t.ndim - 1)
+            # the one-zero filter must NOT restart at shard boundaries:
+            # emphasize o with the true previous output (the overlap
+            # region's last warm-up sample) and t with the left
+            # neighbor's last target (one more tiny ppermute), then drop
+            # the seed sample — matching the single-scan emphasis
+            # everywhere except device 0's first sample, which keeps the
+            # single-device x0-raw convention (and sits inside the
+            # skip_samples mask in the reference configuration anyway)
+            o = pre_emphasis(out[..., warmup - 1 :], axis=x.ndim - 1)[..., 1:]
+            prev_y = jax.lax.ppermute(
+                y[..., -1:], axis, [(i, (i + 1) % D) for i in range(D)]
+            )
+            t_ext = jnp.concatenate([gate * prev_y, y], axis=-1)
+            t = pre_emphasis(t_ext, axis=x.ndim - 1)[..., 1:]
+        else:
+            o = out[..., warmup:]
+            t = y
         keep = jnp.arange(x.shape[-1]) >= jnp.where(
             idx == 0, cfg.skip_samples, 0
         )
@@ -228,8 +245,7 @@ def make_time_block_train_step(
         se = jax.lax.psum(se_l, axes)
         te = jax.lax.psum(te_l, axes)
         n = jax.lax.psum(n_l, axes)
-        m = se / n
-        e = jnp.sqrt(se / (te + eps) / n)
+        m, e = global_loss_from_sums(se, te, n)
         return se, n, m, e
 
     def _make_locals(axes):
@@ -251,7 +267,7 @@ def make_time_block_train_step(
             # minimal repro and the full-length scan oracle; contrast
             # data_parallel's check_vma=False path, where the grad is
             # local and the psum is explicit.)
-            coef = 1.0 / n + e / (2.0 * jnp.maximum(se, eps))
+            coef = dloss_dse(se, e, n)
             g = jax.tree_util.tree_map(lambda gg: coef * gg, g)
             if trainable_filter is not None:
                 g = trainable_filter(g)
@@ -259,7 +275,7 @@ def make_time_block_train_step(
 
         return loss_local, grads_local
 
-    two_axis = batch_axis in mesh.shape and mesh.shape.get(batch_axis, 1) >= 1
+    two_axis = batch_axis in mesh.shape
     loss_1d, grads_1d = _make_locals((axis,))
     sm_grads = {
         1: shard_map(
@@ -285,9 +301,17 @@ def make_time_block_train_step(
             out_specs=(P(), P()),
         )
 
+    def _pick(table, nd):
+        if nd not in table:
+            raise ValueError(
+                f"{nd}-D inputs need the '{batch_axis}' mesh axis for the "
+                f"row sharding; mesh axes: {tuple(mesh.shape)}"
+            )
+        return table[nd]
+
     @jax.jit
     def _train_jit(params, opt_state, x, y):
-        loss, aux, g = sm_grads[x.ndim](params, x, y)
+        loss, aux, g = _pick(sm_grads, x.ndim)(params, x, y)
         updates, opt_state = opt.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, **aux}
@@ -297,12 +321,12 @@ def make_time_block_train_step(
 
     # for the gradient-vs-long-scan validation tests
     train_step.grads_fn = jax.jit(
-        lambda params, x, y: sm_grads[x.ndim](params, x, y)
+        lambda params, x, y: _pick(sm_grads, x.ndim)(params, x, y)
     )
 
     @jax.jit
     def eval_step(params, x, y):
-        loss, aux = sm_loss[x.ndim](params, x, y)
+        loss, aux = _pick(sm_loss, x.ndim)(params, x, y)
         return {"loss": loss, **aux}
 
     return opt, train_step, eval_step

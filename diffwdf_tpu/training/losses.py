@@ -69,6 +69,27 @@ def bounds_loss(target, pred):
     )
 
 
+def global_loss_from_sums(se, te, n, eps: float = _EPS):
+    """The circuit-training loss assembled from SUMS: mse = se/n,
+    esr = sqrt(se/(te+eps)/n) — algebraically identical to
+    ``mse(t, o) + esr(t, o)`` with se = sum((t-o)^2), te = sum(t^2),
+    n = element count.  The mesh training steps psum per-shard sums and
+    assemble here so the sharded loss equals the single-device one (the
+    ESR energy normalization does not decompose as a mean of per-shard
+    ESRs).  Returns (mse, esr)."""
+    m = se / n
+    e = jnp.sqrt(se / (te + eps) / n)
+    return m, e
+
+
+def dloss_dse(se, e, n, eps: float = _EPS):
+    """d(mse+esr)/d(se) of :func:`global_loss_from_sums` — the exact
+    chain-rule factor the mesh steps apply to the psummed gradient of the
+    LOCAL se (te is target-only, n constant, so se is the only
+    parameter-dependent sum): 1/n + e/(2 se)."""
+    return 1.0 / n + e / (2.0 * jnp.maximum(se, eps))
+
+
 def mse_plus_esr(target, pred, n_norm: Optional[float] = None):
     """The combined training loss both reference workloads use
     (``diode_pretraining.py:151-153``, ``clipper_pot.py:177``)."""

@@ -138,7 +138,7 @@ def main():
             ts, tree_params, v, go, tuple(seqs), lam_T_p,
             input_node="Vin", static_controls=None, time_chunk=128,
             lanes=lanes, interpret=False, root_override=_mlp_root_smem,
-            root_arrays=ras, root_smem=True, n_state=S)[1]
+            root_arrays=ras, root_kinds=("smem",) * len(ras), n_state=S)[1]
 
     dt = bench._timeit(bwd, [(vin_p, g_out_p)], n=20)
     log("bwd_adjoint_kernel", dt)

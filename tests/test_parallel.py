@@ -266,6 +266,34 @@ def test_time_block_training_matches_long_scan(devices8):
         denom = float(jnp.max(jnp.abs(b))) + 1e-12
         assert float(jnp.max(jnp.abs(a - b))) / denom < 1e-3
 
+    # pre-emphasis: the one-zero filter must not restart at shard
+    # boundaries (each boundary sample is emphasized with the true
+    # neighbor sample, fetched via the overlap / one extra ppermute)
+    cfg_e = CircuitTrainConfig(
+        learning_rate=3e-3, skip_samples=50, use_pre_emphasis=True
+    )
+    _, step_e, _ = make_time_block_train_step(ckt, cfg_e, mesh, warmup=W)
+
+    def oracle_loss_emph(p):
+        from diffwdf_tpu.training.losses import pre_emphasis
+
+        out, _ = ckt.process(p, state0, {"Vs": {"v": x}})
+        o = pre_emphasis(out, axis=0)[cfg_e.skip_samples:]
+        t = pre_emphasis(y, axis=0)[cfg_e.skip_samples:]
+        se = jnp.sum(jnp.square(o - t))
+        te = jnp.sum(jnp.square(t))
+        n = jnp.asarray(t.size, jnp.float32)
+        return se / n + jnp.sqrt(se / (te + eps) / n)
+
+    le_ref, ge_ref = jax.value_and_grad(oracle_loss_emph)(params)
+    le_tb, _, ge_tb = step_e.grads_fn(params, x, y)
+    np.testing.assert_allclose(float(le_tb), float(le_ref), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ge_tb), jax.tree_util.tree_leaves(ge_ref)
+    ):
+        denom = float(jnp.max(jnp.abs(b))) + 1e-12
+        assert float(jnp.max(jnp.abs(a - b))) / denom < 1e-3
+
     # and the step optimizes (NN-only updates, the reference's in-circuit
     # training policy — component grads are huge relative to C=4.7e-9 and
     # Adam's unit-scale steps would wreck the physics)
