@@ -150,7 +150,8 @@ def main(check: bool = False):
         rows.append((
             "Serving block 2048 @ 96 kHz, device-side "
             "(deer engine, parallel DC blocker)",
-            f"{sig2(pin('rt_deer', sw['rt_factor_device_deer']))}× real time",
+            f"{sig2(pin('rt_deer', sw['rt_factor_device_deer']))}× real time "
+            "(device-kernel; per-dispatch in artifact)",
             "—"))
     if "clipper_msamples_per_s" in cg:
         rows.append((
