@@ -1303,12 +1303,12 @@ def main():
 
 def main_scaling():
     """Opt-in scaling evidence (`bench.py --scaling`): weak-scaling curves on
-    an 8-virtual-device CPU mesh -> SCALING_r04.json (real multi-chip uses the
+    an 8-virtual-device CPU mesh -> SCALING_r05.json (real multi-chip uses the
     same path when a pod is attached; see parallel/scaling_bench.py)."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
     from measure_scaling import main as _run
 
-    _run(["--out", "SCALING_r04.json"])
+    _run(["--out", "SCALING_r05.json"])
 
 
 if __name__ == "__main__":

@@ -129,7 +129,11 @@ def cmd_train_clipper(args):
         max_chunks=args.max_chunks,
         engine=args.engine,
     )
-    drop_mixed = args.engine == "fused"  # file-boundary chunks can't hoist R
+    # the clipper-specific fused engine needs every chunk's R hoisted, so
+    # file-boundary chunks (mixed R) are dropped there; fused_generic
+    # streams a per-sample R for exactly those chunks (round 5), and the
+    # scan engine re-adapts in-loop — both keep all chunks
+    drop_mixed = args.engine == "fused"
     tb = make_clipper_batches(train, cfg.batch_size, cfg.max_chunks,
                               drop_mixed_r=drop_mixed)
     vb = (make_clipper_batches(val, cfg.batch_size, cfg.max_chunks,
@@ -577,9 +581,13 @@ def main(argv=None):
     sp.add_argument("--lr", type=float, default=1e-4)
     sp.add_argument("--batch-size", type=int, default=2048)
     sp.add_argument("--max-chunks", type=int)
-    sp.add_argument("--engine", default="scan", choices=("scan", "fused"),
-                    help="fused = Pallas forward + associative-scan backward "
-                         "(LPF clipper, hoisted per-chunk R)")
+    sp.add_argument("--engine", default="scan",
+                    choices=("scan", "fused", "fused_generic"),
+                    help="fused = clipper-specific Pallas fwd+adjoint "
+                         "(hoisted per-chunk R); fused_generic = the "
+                         "any-circuit Pallas engine (per-row AND "
+                         "per-sample pot streams, exact component/physics "
+                         "cotangents)")
     sp.add_argument("--cap", type=float, default=4.7e-9)
     sp.add_argument("--fs", type=float, default=48000.0)
     sp.add_argument("--seed", type=int, default=0)

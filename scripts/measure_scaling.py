@@ -1,4 +1,4 @@
-"""Record scaling-efficiency evidence (SCALING_r02.json).
+"""Record scaling-efficiency evidence (SCALING_r05.json).
 
 Runs the DP-training and time-block weak-scaling curves from
 ``diffwdf_tpu.parallel.scaling_bench`` on whatever mesh is available:
@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING_r04.json")
+    ap.add_argument("--out", default="SCALING_r05.json")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--virtual", type=int, default=8,
                     help="force an N-virtual-device CPU mesh (0 = use the "
