@@ -373,6 +373,90 @@ def test_per_sample_pot_gradcheck_vs_scan():
         assert errs["dp"][next(iter(errs["dp"]))] is not None  # tree sanity
 
 
+def test_per_sample_pot_pallas_matches_xla_backward():
+    """The (B, T) pot streams run through BOTH backward engines with
+    agreeing cotangents (the reversed time-leaf streaming in the Pallas
+    adjoint vs the XLA linearize path's broadcast coefficients)."""
+    from diffwdf_tpu.models.diode_clipper import make_training_clipper
+
+    rng = np.random.default_rng(29)
+    vin = jnp.asarray((1.0 * rng.standard_normal((B, T))).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
+    aroot = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    ckt = make_training_clipper(aroot, FS)
+    params = {**ckt.init_params(), **aroot.init_params()}
+    r_bt = jnp.asarray(
+        np.exp(
+            np.log(45e3)
+            + np.cumsum(0.02 * rng.standard_normal((B, T)), axis=1)
+        ).astype(np.float32)
+    )
+    z0 = [jnp.zeros((B,), jnp.float32)]
+
+    def loss(f):
+        def L(p):
+            out, zf = f(p, vin, z0, (r_bt,))
+            return jnp.sum((out - y) ** 2) + sum(
+                jnp.sum(3.0 * zz) for zz in zf
+            )
+        return L
+
+    f_pl = make_fused_circuit_train_generic(
+        ckt, input_node="Vs", interpret=True, backward="pallas",
+        row_fields=(("Vs", "R"),))
+    f_xla = make_fused_circuit_train_generic(
+        ckt, input_node="Vs", interpret=True, backward="xla",
+        row_fields=(("Vs", "R"),))
+    g_pl = jax.grad(loss(f_pl))(params)
+    g_xla = jax.grad(loss(f_xla))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pl),
+                    jax.tree_util.tree_leaves(g_xla)):
+        denom = float(jnp.max(jnp.abs(b))) + 1e-12
+        assert float(jnp.max(jnp.abs(a - b))) / denom < 3e-4
+
+
+def test_joint_fit_with_pot_sweep_data():
+    """joint_fit_clipper (components + MLP together) on the fused_generic
+    engine with per-row pot data: the combination of the round-4 joint
+    physics+neural fit with the round-5 pot streams — every cotangent
+    (R, C, MLP) flows through the per-row coefficient tiles."""
+    from diffwdf_tpu.models.diode_clipper import make_training_clipper
+    from diffwdf_tpu.training.circuit_train import (
+        CircuitTrainConfig, joint_fit_clipper,
+    )
+
+    rng = np.random.default_rng(31)
+    n_seq, t_seq = 8, 64
+    aroot = dwdf.DiodePairRoot(name="dp", diode=dwdf.diode_1n4148_1u1d)
+    ckt_a = make_training_clipper(aroot, FS)
+    pa = {**ckt_a.init_params(), **aroot.init_params()}
+    x = (0.9 * rng.standard_normal((n_seq, t_seq))).astype(np.float32)
+    r0 = np.exp(rng.uniform(np.log(36e3), np.log(73e3), n_seq)).astype(
+        np.float32
+    )
+    scan = _scan_fwd_row(ckt_a, "Vs", "Vs")
+    y = np.asarray(scan(pa, jnp.asarray(x), jnp.asarray(r0)))
+
+    nroot = NeuralDiodeRoot(name="dp", n_layers=1, layer_size=4)
+    ckt_n = make_training_clipper(nroot, FS)
+    params = {**ckt_n.init_params(), **nroot.init_params()}
+    # perturb C; the joint fit must pull it back while training the MLP
+    params["C"]["C"] = jnp.asarray(6.5e-9, jnp.float32)
+    batches = {
+        "x": jnp.asarray(x), "y": jnp.asarray(y), "r0": jnp.asarray(r0),
+    }
+    cfg = CircuitTrainConfig(
+        epochs=12, batch_size=t_seq, skip_samples=4, engine="fused_generic",
+    )
+    p2, hist = joint_fit_clipper(
+        ckt_n, params, batches, component_lrs={"C.C": 2e-10},
+        cfg=cfg, mlp_lr=3e-3,
+    )
+    assert hist["loss"][-1] < hist["loss"][0]
+    # C moved toward the true 4.7n from the 6.5n perturbation
+    assert abs(float(p2["C"]["C"]) - 4.7e-9) < abs(6.5e-9 - 4.7e-9)
+
+
 def test_train_step_fused_generic_accepts_r0_batches():
     """engine='fused_generic' + hoisted per-row 'r0' batches — the exact
     measured-data workload the round-4 engine rejected — trains the HPF's
