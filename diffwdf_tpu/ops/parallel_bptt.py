@@ -41,6 +41,15 @@ as batch tiles ((B,) values) or full (B, T) per-sample streams.  Remaining
 restrictions: one scalar output probe; per-row/per-sample controls must not
 reach matrix-valued coefficients (keep pots outside R-type adaptors, as the
 Tube Screamer's drive pot is).
+
+Chip-parity note: with the NEURAL root the forward kernel's Kronecker dots
+run the MXU's single-pass bf16 multiply, so on-chip outputs carry the same
+documented ~4e-3 class error as every Kron forward kernel — identically
+with no pot, per-row pots, and per-sample pots (measured,
+``runs/probes/fused_train_chip_parity_probe.json``); analytic-root paths
+are VPU f32 and bit-exact vs the scan.  Training converges to the same
+val-ESR floor as the scan engine regardless (501-epoch runs under
+``runs/``).
 """
 
 from __future__ import annotations
