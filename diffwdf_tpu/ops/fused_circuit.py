@@ -398,43 +398,63 @@ def fused_circuit_process(
     return out, state_f
 
 
-def _mlp_root(a, r_up, views):
+def _make_mlp_root(precision):
     """Kron-expanded NxH MLP root inside the kernel: b = -MLP([a, log R]).
     views: (k1, c1, kh, ch, w3, b3) from ``_kron_weights`` (kh/ch stack the
     hidden H->H layers along a leading axis; unrolled at trace time).
 
-    The dots run the MXU's default single-pass bf16 multiply with f32
+    precision=None: the MXU's default single-pass bf16 multiply with f32
     accumulate — right for the FORWARD kernels, where the golden tests
-    bound the end-to-end error.  Do NOT reuse this root inside an iterative
-    solver: Newton-over-trajectory amplifies the per-step bf16 input
-    rounding into a ~1.5e-2 residual floor (the parallel-in-time path uses
-    ``deer_circuit._mlp_root_smem``, exact-f32 VPU math, instead)."""
-    k1, c1, kh, ch, w3, b3 = views
-    h = jnp.tanh(jnp.dot(k1, a, preferred_element_type=jnp.float32) + c1)
-    for l in range(kh.shape[0]):
-        h = jnp.tanh(jnp.dot(kh[l], h, preferred_element_type=jnp.float32) + ch[l])
-    y = jnp.dot(w3, h, preferred_element_type=jnp.float32) + b3[0, 0]
-    return -y
+    bound the end-to-end error (~4e-3 class on chip,
+    ``runs/probes/fused_train_chip_parity_probe.json``).  Do NOT reuse
+    this root inside an iterative solver: Newton-over-trajectory amplifies
+    the per-step bf16 input rounding into a ~1.5e-2 residual floor (the
+    parallel-in-time path uses ``deer_circuit._mlp_root_smem``, exact-f32
+    VPU math, instead).  precision=HIGHEST runs the 3-pass bf16x3
+    expansion (~f32-exact) for users who want chip gradcheck-tight
+    training — the same knob the pretraining workload already exposes
+    (``matmul_precision="highest"``)."""
+
+    def root(a, r_up, views):
+        k1, c1, kh, ch, w3, b3 = views
+        kw = dict(preferred_element_type=jnp.float32, precision=precision)
+        h = jnp.tanh(jnp.dot(k1, a, **kw) + c1)
+        for l in range(kh.shape[0]):
+            h = jnp.tanh(jnp.dot(kh[l], h, **kw) + ch[l])
+        y = jnp.dot(w3, h, **kw) + b3[0, 0]
+        return -y
+
+    return root
 
 
-def _mlp_root_timevar(a, r_up, views):
+_mlp_root = _make_mlp_root(None)
+_mlp_root_hp = _make_mlp_root(jax.lax.Precision.HIGHEST)
+
+
+def _make_mlp_root_timevar(precision):
     """Kron-expanded NxH MLP root with PER-SAMPLE R conditioning: the
     first-layer pre-activation is k1 @ a + k1r @ log(r_up) + b1, where
     k1r = kron(W1[logR-col], I8) turns the per-step (8, lanes) log-R tile
     into the per-unit bias contribution in one extra MXU pass (r_up is the
     tree-top impedance coefficient, a "time" leaf here, so it arrives
-    already sliced at the current step)."""
-    k1, k1r, c1b, kh, ch, w3, b3 = views
-    lr = jnp.log(r_up)
-    h = jnp.tanh(
-        jnp.dot(k1, a, preferred_element_type=jnp.float32)
-        + jnp.dot(k1r, lr, preferred_element_type=jnp.float32)
-        + c1b
-    )
-    for l in range(kh.shape[0]):
-        h = jnp.tanh(jnp.dot(kh[l], h, preferred_element_type=jnp.float32) + ch[l])
-    y = jnp.dot(w3, h, preferred_element_type=jnp.float32) + b3[0, 0]
-    return -y
+    already sliced at the current step).  precision as in
+    :func:`_make_mlp_root`."""
+
+    def root(a, r_up, views):
+        k1, k1r, c1b, kh, ch, w3, b3 = views
+        kw = dict(preferred_element_type=jnp.float32, precision=precision)
+        lr = jnp.log(r_up)
+        h = jnp.tanh(jnp.dot(k1, a, **kw) + jnp.dot(k1r, lr, **kw) + c1b)
+        for l in range(kh.shape[0]):
+            h = jnp.tanh(jnp.dot(kh[l], h, **kw) + ch[l])
+        y = jnp.dot(w3, h, **kw) + b3[0, 0]
+        return -y
+
+    return root
+
+
+_mlp_root_timevar = _make_mlp_root_timevar(None)
+_mlp_root_timevar_hp = _make_mlp_root_timevar(jax.lax.Precision.HIGHEST)
 
 
 def fused_circuit_process_neural(
@@ -450,6 +470,7 @@ def fused_circuit_process_neural(
     time_chunk: int = 128,
     lanes: int = 0,
     interpret: bool = False,
+    mxu_precision: str = "default",
     return_state_seq: bool = False,
     seq_packed: bool = False,
 ):
@@ -475,10 +496,12 @@ def fused_circuit_process_neural(
             f"with a linear head only; root has activations {acts} — use "
             "the scan engine for this model"
         )
+    assert mxu_precision in ("default", "highest"), mxu_precision
+    hp = mxu_precision == "highest"
     adapt_controls = _merge_controls(static_controls, row_controls)
     coeffs = circuit.adapt(params, adapt_controls)
     log_r = jnp.log(coeffs[circuit.tree.name]["R"])
-    root = _mlp_root
+    root = _mlp_root_hp if hp else _mlp_root
     if jnp.ndim(log_r) == 2:  # per-SAMPLE R reaches the conditioning
         layers = mlp_params["layers"]
         H, k1, kh, ch, w3, b3 = _kron_weights_unbiased(mlp_params)
@@ -487,7 +510,7 @@ def fused_circuit_process_neural(
         c1b = jnp.repeat(layers[0]["bias"], 8)[:, None]  # (H*8, 1)
         arrays = (k1, k1r, c1b, kh, ch, w3, jnp.reshape(b3, (1, 1)))
         tiled = ()
-        root = _mlp_root_timevar
+        root = _mlp_root_timevar_hp if hp else _mlp_root_timevar
     elif jnp.ndim(log_r) == 1:  # per-row R reaches the conditioning
         B, T = vin.shape
         lanes = lanes or auto_lanes(B, T, time_chunk)

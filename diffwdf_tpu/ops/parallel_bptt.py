@@ -434,6 +434,7 @@ def make_fused_circuit_train_generic(
     lanes: int = 0,
     interpret: bool = False,
     backward: str = "pallas",
+    mxu_precision: str = "default",
 ):
     """Build the differentiable fused engine for ``circuit``.
 
@@ -461,6 +462,14 @@ def make_fused_circuit_train_generic(
     kernels' packed layout end-to-end; "xla" is the round-3 path (S+1
     linearize pulls + log-depth associative scan) kept as an oracle — both
     are gradchecked against scan BPTT.
+
+    mxu_precision: "default" (single-pass bf16 MXU dots in the neural
+    forward — the ~4e-3 on-chip class the convergence runs accept; the
+    scan oracle's own XLA matmuls run the same bf16 by default, so the
+    "error vs scan" is bf16 on both sides) or "highest" (3-pass bf16x3,
+    f32-class — 2e-5 parity against a highest-precision scan at +4% step
+    cost, measured in runs/probes/fused_train_chip_parity_probe.json; the
+    same knob the pretraining workload exposes).
     """
     from .fused_circuit import (
         _merge_controls,
@@ -496,6 +505,7 @@ def make_fused_circuit_train_generic(
             seq_packed=(backward == "pallas"),
         )
         if neural:
+            kw["mxu_precision"] = mxu_precision
             tree_params = {k: v for k, v in params.items() if k != root_name}
             res = fused_circuit_process_neural(
                 circuit, tree_params, params[root_name], vin, state0, **kw

@@ -55,6 +55,10 @@ class CircuitTrainConfig:
     # fused_generic engine ("" = auto: "Vs" for the clipper family; set
     # "R6" for a Tube Screamer drive-pot sweep)
     pot_field: str = "R"
+    mxu_precision: str = "default"  # neural fused forward dots: "default"
+    # (single-pass bf16 MXU, ~4e-3 on-chip class) | "highest" (~f32-exact,
+    # ~1.3x step cost) — the pretraining workload's knob, for chip
+    # gradcheck-tight in-circuit training
 
 
 def make_clipper_batches(data: Dict[str, np.ndarray], batch_size: int, max_chunks=None,
@@ -196,11 +200,11 @@ def _make_fused_generic_forward(circuit: Circuit, cfg: CircuitTrainConfig):
     interpret = jax.default_backend() not in ("tpu",)
     f_plain = make_fused_circuit_train_generic(
         circuit, input_node=input_node, interpret=interpret,
-        backward=cfg.engine_backward,
+        backward=cfg.engine_backward, mxu_precision=cfg.mxu_precision,
     )
     f_row = make_fused_circuit_train_generic(
         circuit, input_node=input_node, interpret=interpret,
-        backward=cfg.engine_backward,
+        backward=cfg.engine_backward, mxu_precision=cfg.mxu_precision,
         row_fields=((pot_node, cfg.pot_field),),
     )
     default_r = float(init_p.get(pot_node, {}).get(cfg.pot_field, 1.0))
