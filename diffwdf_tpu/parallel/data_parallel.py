@@ -95,7 +95,6 @@ def _make_dp_train_step_shard_map(
     emphasis = (
         (lambda t: pre_emphasis(t, axis=1)) if cfg.use_pre_emphasis else None
     )
-    eps = jnp.float32(np.finfo(np.float32).eps)
 
     def local_sums(params, batches):
         outs = forward(params, batches)

@@ -175,7 +175,6 @@ def make_time_block_train_step(
     )
     D = mesh.shape[axis]
     state0 = circuit.init_state()
-    eps = jnp.float32(jnp.finfo(jnp.float32).eps)
 
     def local_sums(params, x, y, axes=(None,)):
         """Local masked sums.  All collectives stay OUTSIDE this function:
