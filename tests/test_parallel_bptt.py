@@ -535,3 +535,46 @@ def test_pallas_backward_matches_xla_backward():
                         jax.tree_util.tree_leaves(g_xla)):
             denom = float(jnp.max(jnp.abs(b))) + 1e-12
             assert float(jnp.max(jnp.abs(a - b))) / denom < 1e-4, ckt
+
+
+def test_mixed_r_chunks_train_on_fused_generic():
+    """The real measured-data edge case that motivated per-sample streams:
+    a chunk straddling a FILE BOUNDARY carries two R values, so it cannot
+    hoist ("r" stays (B, T) in make_clipper_batches).  Round 4 dropped such
+    chunks on the fused path (drop_mixed_r); the fused_generic engine now
+    trains them directly, matching the scan engine's loss trajectory."""
+    from diffwdf_tpu.models.diode_clipper import make_training_clipper
+    from diffwdf_tpu.training.circuit_train import (
+        CircuitTrainConfig,
+        make_clipper_batches,
+        train_clipper,
+    )
+
+    rng = np.random.default_rng(37)
+    T_chunk, n = 128, 6
+    total = n * T_chunk
+    x = (0.8 * rng.standard_normal(total)).astype(np.float32)
+    # two "files": R jumps mid-stream, NOT on a chunk boundary
+    r = np.full(total, 45e3, np.float32)
+    r[total // 2 + T_chunk // 2 :] = 62e3
+    y = np.tanh(x).astype(np.float32)
+    batches = make_clipper_batches(
+        {"x": x, "r": r, "y": y}, T_chunk
+    )
+    assert "r" in batches and batches["r"].shape == (n, T_chunk)  # mixed
+
+    root = NeuralDiodeRoot(name="dp", n_layers=1, layer_size=4)
+    ckt = make_training_clipper(root, FS)
+    params0 = {**ckt.init_params(), **root.init_params(jax.random.PRNGKey(2))}
+
+    hists = {}
+    for engine in ("scan", "fused_generic"):
+        cfg = CircuitTrainConfig(
+            epochs=4, batch_size=T_chunk, learning_rate=3e-3,
+            skip_samples=8, engine=engine,
+        )
+        _, hist = train_clipper(ckt, dict(params0), batches, cfg=cfg)
+        hists[engine] = hist["loss"]
+    np.testing.assert_allclose(
+        hists["fused_generic"], hists["scan"], rtol=5e-4
+    )
