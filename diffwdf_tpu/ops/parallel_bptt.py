@@ -639,7 +639,13 @@ def make_fused_circuit_train_generic(
                 acc = acc + jnp.sum(z_new[k] * lam_step_p[k])
             return acc
 
-        g_params = jax.grad(inner)(params)
+        # the parameter pass runs XLA dense matmuls (mlp_apply); honor the
+        # precision knob here too so "highest" delivers f32-class GRADS,
+        # not only the forward
+        with jax.default_matmul_precision(
+            "highest" if mxu_precision == "highest" else None
+        ):
+            g_params = jax.grad(inner)(params)
         return g_params, g_vin, g_z0, tuple(
             jnp.zeros_like(jnp.asarray(v)) for v in row_vals
         )
@@ -716,7 +722,10 @@ def make_fused_circuit_train_generic(
                 acc = acc + jnp.sum(z_new[k] * lam_step[k])
             return acc
 
-        g_params = jax.grad(inner)(params)
+        with jax.default_matmul_precision(
+            "highest" if mxu_precision == "highest" else None
+        ):
+            g_params = jax.grad(inner)(params)
         g_z0 = [lam_prev[k][:, 0] for k in range(S)]
         return g_params, g_vin, g_z0, tuple(
             jnp.zeros_like(jnp.asarray(v)) for v in row_vals
