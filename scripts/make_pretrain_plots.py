@@ -16,7 +16,7 @@ import numpy as np
 from diffwdf_tpu.analysis import plot_target_pred, plot_transconductance
 from diffwdf_tpu.data.synthetic import pretraining_grid
 from diffwdf_tpu.nn.serialization import load_model_json
-from diffwdf_tpu.roots.diode import ALL_1N4148, default_diode
+from diffwdf_tpu.roots.diode import ALL_1N4148, default_diode, diode_oa1154_1u1d
 from diffwdf_tpu.roots.neural import mlp_apply
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "runs/pretraining_plots"
@@ -26,7 +26,11 @@ for fname in sorted(os.listdir("models/pretrained")):
     if not fname.endswith(".json"):
         continue
     diode_name = fname.split("_")[0]
-    diode = ALL_1N4148.get(diode_name, default_diode)
+    # every diode family the zoo ships, not only the 1N4148s (an OA1154
+    # model evaluated against the wrong physics showed a bogus 0.12 MSE)
+    by_name = {**ALL_1N4148, diode_oa1154_1u1d.name: diode_oa1154_1u1d,
+               default_diode.name: default_diode}
+    diode = by_name.get(diode_name, default_diode)
     mlp, acts, _ = load_model_json(os.path.join("models/pretrained", fname))
     x, y = pretraining_grid(diode)
     pred = np.asarray(mlp_apply(mlp, acts, x))[:, 0]
