@@ -984,34 +984,33 @@ def main():
         # steady_block_ms above pays per block
         g1 = jnp.float32(1.0)
 
-        def _dev_block_time(proc, label, chained=False):
-            """Device time of the compiled process_block fn.  chained=True
-            publishes the stationary device-kernel time (the sub-ms deer
-            block's per-dispatch pipelined numbers carry 30-100 % IQR from
-            tunnel load — same policy as the single-stream table rows; the
-            serving sweep budget is fixed, so the chain cost is
-            data-independent); the pipelined per-dispatch figure is
-            recorded alongside under *_per_dispatch."""
+        def _block_call(proc):
+            """The compiled process_block fn as audio -> audio (fixed
+            state/gain), ready for the timing helpers."""
             fn_dev = proc._block_fn("toms", len(x_serve))
             _, params_dev = proc.circuits["toms"]
             st_dev = proc._state[proc._state_key.get("toms", "toms")]
             dc_dev = proc._dc_state
-            f = lambda v: fn_dev(params_dev, st_dev, dc_dev, v, g1, g1, {})[0]
-            args = [jnp.asarray(x) for x in xs_blk]
-            if chained:
-                return _timeit_kernel(f, args, K=32, n=20, label=label)
-            return _timeit(f, args, n=200, label=label)
+            return lambda v: fn_dev(
+                params_dev, st_dev, dc_dev, v, g1, g1, {}
+            )[0]
 
-        dev_block = _dev_block_time(warm, "serving_device_block")
+        args_blk = [jnp.asarray(x) for x in xs_blk]
+        dev_block = _timeit(
+            _block_call(warm), args_blk, n=200, label="serving_device_block"
+        )
         # the latency serving engine (cli process --engine deer): circuit
         # solve fused into one kernel; with the parallel DC blocker the
-        # whole block fn is log-depth
+        # whole block fn is log-depth.  The chained number is the
+        # stationary device-kernel time (the sub-ms block's per-dispatch
+        # pipelined figures carry 30-100 % IQR from tunnel load — same
+        # policy and helper as the single-stream rows; the serving sweep
+        # budget is fixed, so the chain cost is data-independent)
         deer_proc = make_clipper_processor(fs, models=("toms",), engine="deer")
         deer_proc.warmup([len(x_serve)])
-        dev_block_deer = _dev_block_time(
-            deer_proc, "serving_device_block_deer", chained=True)
-        dev_block_deer_pd = _dev_block_time(
-            deer_proc, "serving_device_block_deer_per_dispatch")
+        dev_block_deer, dev_block_deer_pd = _timeit_kernel_both(
+            _block_call(deer_proc), args_blk, K=32, n=20,
+            label="serving_device_block_deer")
         block_audio_ms = len(x_serve) / fs * 1e3
         details["serving_warmup"] = {
             "block": len(x_serve),
@@ -1036,7 +1035,12 @@ def main():
                     "corrected (no per-block output fetch): the real-time "
                     "factor rt_factor_device = block audio duration / "
                     "device block time is the reference CPU meter's "
-                    "headroom number (CPUMeter.h:42-80)",
+                    "headroom number (CPUMeter.h:42-80).  "
+                    "device_block_deer_ms is CHAINED device-kernel time "
+                    "(per-dispatch overhead amortized to <1/K, same "
+                    "policy as the single-stream rows); each real served "
+                    "block additionally pays the per-dispatch cost "
+                    "recorded in device_block_deer_per_dispatch_ms",
         }
     except Exception as e:
         details["serving_warmup"] = {"error": str(e)[:200]}

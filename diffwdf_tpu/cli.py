@@ -130,9 +130,12 @@ def cmd_train_clipper(args):
         engine=args.engine,
     )
     # the clipper-specific fused engine needs every chunk's R hoisted, so
-    # file-boundary chunks (mixed R) are dropped there; fused_generic
-    # streams a per-sample R for exactly those chunks (round 5), and the
-    # scan engine re-adapts in-loop — both keep all chunks
+    # file-boundary chunks (mixed R) are dropped there.  fused_generic and
+    # scan keep ALL chunks; note make_clipper_batches hoists to per-row
+    # "r0" only when EVERY chunk is constant, so a single mixed chunk
+    # routes the whole dataset through the per-sample (B, T) stream — an
+    # acceptable cost (chip-measured within ~10% of the per-row path) in
+    # exchange for keeping the boundary data
     drop_mixed = args.engine == "fused"
     tb = make_clipper_batches(train, cfg.batch_size, cfg.max_chunks,
                               drop_mixed_r=drop_mixed)

@@ -65,6 +65,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..roots.neural import NeuralDiodeRoot
 
 
+def _prec_ctx(mxu_precision):
+    """Precision context for the XLA-side passes: open a context ONLY for
+    "highest" — entering ``default_matmul_precision(None)`` would reset an
+    ambient global the user set, silently downgrading their precision."""
+    import contextlib
+
+    if mxu_precision == "highest":
+        return jax.default_matmul_precision("highest")
+    return contextlib.nullcontext()
+
+
 def _batched_step(circuit, coeffs, params, static_controls, input_node):
     """The circuit step as a pure array function: (state leaves list, v) ->
     (new state leaves list, out), broadcasting over any leading shape (the
@@ -641,10 +652,12 @@ def make_fused_circuit_train_generic(
 
         # the parameter pass runs XLA dense matmuls (mlp_apply); honor the
         # precision knob here too so "highest" delivers f32-class GRADS,
-        # not only the forward
-        with jax.default_matmul_precision(
-            "highest" if mxu_precision == "highest" else None
-        ):
+        # not only the forward.  At "default" we must NOT open a context at
+        # all — entering default_matmul_precision(None) would actively
+        # RESET an ambient global the user set (e.g. the pretraining
+        # workload's jax_default_matmul_precision="highest"), a silent
+        # downgrade
+        with _prec_ctx(mxu_precision):
             g_params = jax.grad(inner)(params)
         return g_params, g_vin, g_z0, tuple(
             jnp.zeros_like(jnp.asarray(v)) for v in row_vals
@@ -653,6 +666,14 @@ def make_fused_circuit_train_generic(
     def f_bwd(res, cot):
         if backward == "pallas":
             return f_bwd_pallas(res, cot)
+        with _prec_ctx(mxu_precision):
+            return _f_bwd_xla(res, cot)
+
+    def _f_bwd_xla(res, cot):
+        # entire XLA backward under the precision knob: the linearize
+        # pulls that build J_t/A_t contain the neural root's matmuls, so
+        # wrapping only the parameter pass would leave the adjoint
+        # coefficients bf16-class while claiming "highest"
         params, vin, row_vals, seqs = res
         g_out, g_zf = cot  # (B, T), list of S (B,)
         lam_T = [jnp.asarray(g) for g in g_zf]  # S x (B,)
@@ -722,10 +743,7 @@ def make_fused_circuit_train_generic(
                 acc = acc + jnp.sum(z_new[k] * lam_step[k])
             return acc
 
-        with jax.default_matmul_precision(
-            "highest" if mxu_precision == "highest" else None
-        ):
-            g_params = jax.grad(inner)(params)
+        g_params = jax.grad(inner)(params)
         g_z0 = [lam_prev[k][:, 0] for k in range(S)]
         return g_params, g_vin, g_z0, tuple(
             jnp.zeros_like(jnp.asarray(v)) for v in row_vals

@@ -5,7 +5,7 @@ Runs the DP-training and time-block weak-scaling curves from
 real chips if several are attached, else an 8-virtual-device CPU mesh
 (the standard JAX single-host multi-device test rig).
 
-    python scripts/measure_scaling.py [--out SCALING_r02.json] [--iters 5]
+    python scripts/measure_scaling.py [--out SCALING_r05.json] [--iters 5]
 """
 
 import argparse
