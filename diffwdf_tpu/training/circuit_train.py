@@ -165,8 +165,9 @@ def _make_fused_forward(circuit: Circuit, cfg: CircuitTrainConfig):
     def forward(params, batches):
         v = batches["x"]
         assert "r" not in batches, (
-            "fused engine requires per-chunk-constant R (hoisted 'r0'); "
-            "use engine='scan' for a genuinely time-varying pot"
+            "the clipper-specialized fused engine requires per-chunk-constant "
+            "R (hoisted 'r0'); use engine='fused_generic', which streams "
+            "genuinely per-sample pot data through its kernels"
         )
         B = v.shape[0]
         r0 = batches.get("r0")
